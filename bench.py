@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline: the full ER pipeline (blocking -> Arrow-batched pair scoring ->
+classification -> large-star/small-star CC) over the documents corpus; the
+scoring stage's candidate-pairs/sec is reported alongside (BASELINE metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from healthcare_entity_resolution_spark.session import get_spark
+    from healthcare_entity_resolution_spark.pipeline import (
+        documents_as_files,
+        resolve_files,
+    )
+    from healthcare_entity_resolution_spark.plans.lineage import LineageLog
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name="her_bench", cores=cpus)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # warm the JVM/parquet footing (excluded from timings)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    t0 = time.perf_counter()
+    lin = LineageLog()
+    out = resolve_files(spark, documents_as_files(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")), lineage=lin)
+    out["entities"].count()
+    timings["er_pipeline"] = round(time.perf_counter() - t0, 3)
+    for ev in lin.events:
+        if ev["stage"] == "scoring" and ev.get("pairs_per_sec"):
+            extra["candidate_pairs_scored_per_sec"] = round(ev["pairs_per_sec"], 1)
+            extra["candidate_pairs"] = ev["pairs"]
+
+    bench_queries = [
+        "b5_multi_strategy_pair_count",
+        "j2_lookup_join",
+        "a4_mode_per_key",
+        "a13_score_stats",
+        "a16_pairwise_f1",
+        "dedup_ngram_jaccard",
+        "emb_cosine_topk",
+        "text_token_stats",
+    ]
+    qs = E.queries()
+    for name in bench_queries:
+        t = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "er_pipeline+operator_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra": extra,
+        "sf": sf_dir,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,21 @@
+"""PySpark-native record-linkage (entity-resolution) engine.
+
+A from-scratch reimplementation of the capabilities of the reference
+physician-resolution pipeline (CVW-HMB/healthcare-entity-resolution,
+studied at /root/reference — behavior only, no code reuse), rebuilt
+idiomatically on Spark DataFrames/Catalyst:
+
+    blocking -> pairwise scoring -> classification -> graph pruning ->
+    transitive clustering -> canonicalization -> network analytics ->
+    evaluation
+
+plus the large-scale training-data-pipeline operators (dedup families,
+ANN similarity search, text analysis, multimodal plumbing).
+
+Primary input contract (BASELINE.json input_hint): an Iceberg-style table
+``files(repo string, path string, commit string, lang string, content
+string)``.  All per-row compute is in vectorized pandas/Arrow UDFs or pure
+column expressions; no per-row Python UDFs in the hot path.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,1 @@
+"""Scalar/vectorized kernel library (string similarity, text features, geo)."""

@@ -1,0 +1,43 @@
+"""Geo kernels as pure Catalyst column expressions (JVM-side, codegen'd).
+
+Reimplements the reference's haversine
+(/root/reference/src/physician_resolution/etl/geocoder.py:102-126) as a
+column expression instead of a Python function — NULL-propagating by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_MILES = 3958.8
+
+
+def haversine_miles(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in miles; NULL if any coordinate is NULL."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    c = 2 * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+    return F.lit(EARTH_RADIUS_MILES) * c
+
+
+def location_tier_score(distance_miles: Column, state1: Column, state2: Column) -> Column:
+    """Reference location tiers (similarity.py:89-130): distance ladder
+    1.0/0.8/0.5/0.3/0.1, state fallback 0.3/0.1, no-info 0.2."""
+    return (
+        F.when(distance_miles.isNotNull(),
+               F.when(distance_miles < 0.5, 1.0)
+                .when(distance_miles < 10.0, 0.8)
+                .when(distance_miles < 50.0, 0.5)
+                .when(distance_miles < 100.0, 0.3)
+                .otherwise(0.1))
+        .when(state1.isNotNull() & state2.isNotNull() & (F.length(state1) > 0) & (F.length(state2) > 0),
+              F.when(F.upper(state1) == F.upper(state2), 0.3).otherwise(0.1))
+        .otherwise(0.2)
+    )

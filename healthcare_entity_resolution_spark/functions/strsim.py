@@ -1,0 +1,144 @@
+"""String-similarity kernels, implemented from scratch (stdlib + numpy only).
+
+The reference calls jellyfish.jaro_winkler_similarity and
+rapidfuzz.fuzz.{token_sort_ratio, partial_ratio, ratio} row-at-a-time
+(/root/reference/src/physician_resolution/matching/similarity.py:14-86).
+Those libraries are not available here, so the kernels are reimplemented
+from their published definitions:
+
+- Jaro / Jaro-Winkler: Winkler (1990), standard prefix-boost formulation
+  (p=0.1, max prefix 4, boost applied when jaro > 0.7).
+- ratio / token_sort / partial: the fuzzywuzzy family is defined in terms
+  of difflib.SequenceMatcher.ratio() = 2*M/T; we use difflib directly,
+  which matches the published semantics.
+
+These functions are invoked from *batched* pandas UDFs (functions/udfs.py)
+— never per-row Python UDFs — so the Arrow transfer is vectorized even
+though the innermost loop is per-pair (inherent to edit-style metrics
+without a C extension).
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Jaro similarity in [0, 1]."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, c1 in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c1:
+                flags1[i] = True
+                flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+
+    # transpositions: count mismatches between the matched subsequences
+    transpositions = 0
+    j = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                transpositions += 1
+            j += 1
+    transpositions //= 2
+
+    m = float(matches)
+    return (m / len1 + m / len2 + (m - transpositions) / m) / 3.0
+
+
+def jaro_winkler_similarity(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler: Jaro with a boost for a shared prefix (<= 4 chars)."""
+    jaro = jaro_similarity(s1, s2)
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for c1, c2 in zip(s1[:4], s2[:4]):
+        if c1 == c2:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+def seq_ratio(s1: str, s2: str) -> float:
+    """difflib ratio = 2*M/T in [0,1] (the fuzz.ratio semantic)."""
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    return SequenceMatcher(None, s1, s2).ratio()
+
+
+def token_sort_ratio(s1: str, s2: str) -> float:
+    """ratio() over whitespace tokens sorted — handles word reordering."""
+    t1 = " ".join(sorted(s1.split()))
+    t2 = " ".join(sorted(s2.split()))
+    return seq_ratio(t1, t2)
+
+
+def partial_ratio(s1: str, s2: str) -> float:
+    """Best ratio of the shorter string against same-length windows of the
+    longer, anchored at matching blocks (fuzzywuzzy partial_ratio)."""
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+    if len(shorter) == 0:
+        return 0.0
+    sm = SequenceMatcher(None, shorter, longer)
+    best = 0.0
+    for block in sm.get_matching_blocks():
+        start = max(0, block.b - block.a)
+        window = longer[start : start + len(shorter)]
+        score = SequenceMatcher(None, shorter, window).ratio()
+        if score > best:
+            best = score
+            if best >= 1.0:
+                break
+    return best
+
+
+def soundex(s: str) -> str:
+    """American Soundex (4-char code), for parity tests against Spark's
+    built-in F.soundex (the engine uses the built-in in the hot path)."""
+    s = "".join(c for c in s.upper() if c.isalpha())
+    if not s:
+        return ""
+    codes = {
+        **dict.fromkeys("BFPV", "1"),
+        **dict.fromkeys("CGJKQSXZ", "2"),
+        **dict.fromkeys("DT", "3"),
+        "L": "4",
+        **dict.fromkeys("MN", "5"),
+        "R": "6",
+    }
+    first = s[0]
+    out = [first]
+    prev = codes.get(first, "")
+    for c in s[1:]:
+        code = codes.get(c, "")
+        if code and code != prev:
+            out.append(code)
+        if c not in "HW":
+            prev = code
+    return ("".join(out) + "000")[:4]

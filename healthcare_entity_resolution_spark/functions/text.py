@@ -1,0 +1,163 @@
+"""Text-feature kernels: tokenization, shingles, MinHash, SimHash, TF cosine.
+
+Deterministic by construction (no PYTHONHASHSEED dependence — all hashing is
+crc32/md5-derived), so results are identical across executors and runs.
+Everything here operates on numpy arrays / Python lists *inside* Arrow-batched
+pandas UDFs; see operators/blocking.py and operators/scoring.py.
+
+MinHash/LSH follows the standard banding construction (Leskovec, Rajaraman,
+Ullman — "Mining of Massive Datasets" ch.3): k permutations
+h_i(x) = (a_i * x + b_i) mod p over token hashes, split into b bands of r
+rows; documents sharing any band bucket become candidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+
+MERSENNE_P = (1 << 61) - 1
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """Distinct 32-bit hashes of word tokens (crc32 — C-speed, seedless)."""
+    toks = set(_TOKEN_RE.findall(text.lower()))
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct k-byte character shingle ids, fully vectorized.
+
+    Encodes the text to bytes and combines each k-window into an integer via
+    a stride trick + dot product — no per-shingle Python loop.
+    """
+    b = np.frombuffer(text.lower().encode("utf-8", errors="ignore"), dtype=np.uint8)
+    if b.size < k:
+        return np.unique(b.astype(np.uint64))
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    weights = (np.uint64(1) << (np.arange(k, dtype=np.uint64) * np.uint64(8)))
+    return np.unique(windows @ weights)
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, MERSENNE_P, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(hashes: np.ndarray, num_perm: int = 64, seed: int = 42) -> np.ndarray:
+    """MinHash signature (num_perm uint64) over a set of element hashes."""
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = _perm_params(num_perm, seed)
+    a, b = _PERM_CACHE[key]
+    if hashes.size == 0:
+        return np.full(num_perm, MERSENNE_P, dtype=np.uint64)
+    # (num_perm, n) — modular arithmetic in object-free uint64 with wraparound
+    # is fine because we only need a consistent pseudo-permutation, not exact
+    # modular math; use modulo against the Mersenne prime in float-free int64 space.
+    prod = (hashes[None, :] * a[:, None] + b[:, None]) % np.uint64(MERSENNE_P)
+    return prod.min(axis=1)
+
+
+def lsh_band_keys(
+    sig: np.ndarray, bands: int = 16, seed_tag: str = ""
+) -> list[int]:
+    """Hash each band of the signature to a 63-bit bucket key.
+
+    Key = crc32(band_index ‖ band bytes) folded with the band index so
+    different bands never collide into the same bucket space.
+    """
+    rows = sig.shape[0] // bands
+    keys = []
+    for i in range(bands):
+        band = sig[i * rows : (i + 1) * rows]
+        h = zlib.crc32(band.tobytes() + seed_tag.encode())
+        keys.append((i << 32) | h)
+    return keys
+
+
+def simhash64(hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash (Charikar 2002) over element hashes, vectorized."""
+    if hashes.size == 0:
+        return 0
+    h64 = np.empty(hashes.size, dtype=np.uint64)
+    for i, h in enumerate(hashes):  # md5-extend 32->64 bits, C-speed digest
+        h64[i] = int.from_bytes(
+            hashlib.md5(int(h).to_bytes(8, "little")).digest()[:8], "little"
+        )
+    bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    w = weights if weights is not None else np.ones(hashes.size, dtype=np.int64)
+    sums = (bits * 2 - 1).T @ w
+    out = np.uint64(0)
+    for bit in range(64):
+        if sums[bit] > 0:
+            out |= np.uint64(1) << np.uint64(bit)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(h1: np.ndarray, h2: np.ndarray) -> float:
+    """Exact Jaccard of two distinct-hash arrays."""
+    if h1.size == 0 and h2.size == 0:
+        return 1.0
+    if h1.size == 0 or h2.size == 0:
+        return 0.0
+    inter = np.intersect1d(h1, h2, assume_unique=True).size
+    return inter / float(h1.size + h2.size - inter)
+
+
+def tf_cosine(h1: np.ndarray, c1: np.ndarray, h2: np.ndarray, c2: np.ndarray) -> float:
+    """Cosine of two sparse TF vectors given (ids, counts) pairs (ids sorted)."""
+    if h1.size == 0 or h2.size == 0:
+        return 0.0
+    inter, i1, i2 = np.intersect1d(h1, h2, assume_unique=True, return_indices=True)
+    if inter.size == 0:
+        return 0.0
+    dot = float((c1[i1].astype(np.float64) * c2[i2].astype(np.float64)).sum())
+    n1 = float(np.sqrt((c1.astype(np.float64) ** 2).sum()))
+    n2 = float(np.sqrt((c2.astype(np.float64) ** 2).sum()))
+    return dot / (n1 * n2)
+
+
+def shingle_tf(text: str, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted shingle ids, counts) for TF-cosine."""
+    b = np.frombuffer(text.lower().encode("utf-8", errors="ignore"), dtype=np.uint8)
+    if b.size < k:
+        ids, counts = np.unique(b.astype(np.uint64), return_counts=True)
+        return ids, counts
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    weights = (np.uint64(1) << (np.arange(k, dtype=np.uint64) * np.uint64(8)))
+    return np.unique(windows @ weights, return_counts=True)
+
+
+def rolling_fingerprint(text: str, window: int = 32) -> int:
+    """Deterministic 64-bit document fingerprint: min crc over byte windows
+    (winnowing-style min-sampling, Schleimer et al. 2003 simplified)."""
+    data = text.encode("utf-8", errors="ignore")
+    if len(data) <= window:
+        return zlib.crc32(data)
+    best = 0xFFFFFFFF
+    step = max(1, window // 4)
+    for i in range(0, len(data) - window + 1, step):
+        h = zlib.crc32(data[i : i + window])
+        if h < best:
+            best = h
+    return best

@@ -1,0 +1,3 @@
+"""Dataflow operators (SURVEY.md §2): blocking, scoring, classification,
+components, pruning, canonicalization, network analytics, evaluation,
+dedup families, ANN search, text stats, multimodal plumbing."""

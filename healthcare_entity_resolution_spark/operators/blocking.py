@@ -1,0 +1,200 @@
+"""Blocking & candidate-pair generation (SURVEY.md §2.3, B1–B5).
+
+Reference semantics (behavior studied at
+/root/reference/src/physician_resolution/matching/blocking.py:13-150):
+group records by one or more keys, keep groups with >=2 members, enumerate
+within-group pairs in canonical order (id1 < id2), dedup across strategies.
+
+Spark-first design: every blocking strategy is "derive a key column ->
+self equi-join within key".  The >=2 filter is implicit in the join.
+Catalyst plans the join (sort-merge / shuffled-hash, AQE skew-aware); we add
+what Catalyst can't know (north_rule):
+
+- **Hot-block salting**: blocks larger than ``max_block_size`` are split into
+  ``ceil(n/max_block_size)`` deterministic salt sub-blocks
+  (``xxhash64(id) % n_salts``).  Pairs are generated within a salt only;
+  the dropped cross-salt pair count is computed exactly and written to
+  lineage — truncation is never silent.
+- **MinHash/LSH band keys** over content shingles as a recall-oriented
+  strategy: an Arrow-batched pandas UDF computes band bucket keys
+  (ArrayType(LongType)), ``F.explode`` turns them into block keys.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+from ..functions import text as textfn
+from ..plans.lineage import NULL_LINEAGE, LineageLog
+
+PAIR_SCHEMA = ["id_1", "id_2"]
+
+
+def exact_block_keys(df: DataFrame, id_col: str, key_expr, strategy: str) -> DataFrame:
+    """B1/B2/B4-shaped strategy: one key column per record, NULL keys dropped."""
+    return (
+        df.select(F.col(id_col).alias("_id"), key_expr.alias("_bk"))
+        .where(F.col("_bk").isNotNull())
+        .withColumn("_strategy", F.lit(strategy))
+    )
+
+
+def soundex_block_keys(df: DataFrame, id_col: str, name_col: str, extra_col: str | None,
+                       strategy: str = "soundex") -> DataFrame:
+    """B3: phonetic blocking via the built-in JVM F.soundex (no Python)."""
+    key = F.soundex(F.upper(F.col(name_col)))
+    if extra_col is not None:
+        key = F.concat_ws("|", key, F.coalesce(F.upper(F.col(extra_col)), F.lit("XX")))
+    return exact_block_keys(df, id_col, key, strategy)
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    strategy: str = "minhash",
+) -> DataFrame:
+    """LSH banding over word-token MinHash signatures -> (id, band_key) rows."""
+    num_perm, bands = cfg.minhash_permutations, cfg.lsh_bands
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            sig = textfn.minhash_signature(textfn.token_hashes(t), num_perm=num_perm)
+            # fold to signed 63-bit for LongType
+            out.append([k & 0x7FFFFFFFFFFFFFFF for k in textfn.lsh_band_keys(sig, bands=bands)])
+        return pd.Series(out)
+
+    return (
+        df.select(F.col(id_col).alias("_id"), band_keys(F.col(text_col)).alias("_bands"))
+        .select("_id", F.explode("_bands").alias("_bkl"))
+        .select("_id", F.concat(F.lit("mh:"), F.col("_bkl").cast("string")).alias("_bk"))
+        .withColumn("_strategy", F.lit(strategy))
+    )
+
+
+def _salted(keyed: DataFrame, cfg: ResolutionConfig, lineage: LineageLog) -> DataFrame:
+    """Split hot blocks into deterministic salt sub-blocks; log exact drops."""
+    counts = keyed.groupBy("_bk").agg(F.count("*").alias("_n"))
+    hot = counts.where(F.col("_n") > cfg.max_block_size)
+    n_hot = hot.limit(1).count()
+    if n_hot == 0:
+        return keyed.withColumn("_salt", F.lit(0))
+
+    keyed2 = (
+        keyed.join(F.broadcast(hot.select("_bk", "_n")), "_bk", "left")
+        .withColumn(
+            "_nsalt",
+            F.when(F.col("_n").isNull(), F.lit(1)).otherwise(
+                F.ceil(F.col("_n") / F.lit(cfg.max_block_size)).cast("int")
+            ),
+        )
+        .withColumn("_salt", F.pmod(F.xxhash64("_id"), F.col("_nsalt")).cast("int"))
+        .drop("_n", "_nsalt")
+    )
+    # exact dropped-pair accounting: C(n,2) - sum_s C(n_s,2) per hot block
+    drop_stats = (
+        keyed2.join(F.broadcast(hot.select("_bk")), "_bk", "left_semi")
+        .groupBy("_bk", "_salt").agg(F.count("*").alias("ns"))
+        .groupBy("_bk").agg(
+            F.sum("ns").alias("n"),
+            F.sum(F.expr("ns * (ns - 1) / 2")).alias("pairs_kept"),
+        )
+        .withColumn("pairs_dropped", F.expr("n * (n - 1) / 2 - pairs_kept"))
+    )
+    stats = drop_stats.agg(
+        F.count("*").alias("hot_blocks"),
+        F.sum("pairs_dropped").alias("pairs_dropped"),
+        F.sum("pairs_kept").alias("pairs_kept"),
+    ).collect()[0]
+    lineage.log(
+        "blocking.salting",
+        hot_blocks=int(stats["hot_blocks"] or 0),
+        pairs_dropped=int(stats["pairs_dropped"] or 0),
+        pairs_kept=int(stats["pairs_kept"] or 0),
+        max_block_size=cfg.max_block_size,
+    )
+    return keyed2
+
+
+def candidate_pairs(
+    keyed_union: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+    with_block_stats: bool = False,
+) -> DataFrame:
+    """B5: within-block self-join across all strategies, canonical order,
+    global dedup.  Input: union of (_id, _bk, _strategy) frames."""
+    keyed = _salted(keyed_union.select("_id", "_bk"), cfg, lineage)
+
+    left = keyed.select(F.col("_bk"), F.col("_salt"), F.col("_id").alias("id_1"))
+    right = keyed.select(F.col("_bk"), F.col("_salt"), F.col("_id").alias("id_2"))
+    pairs = (
+        left.join(right, on=["_bk", "_salt"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "_bk")
+    )
+    if with_block_stats:
+        lineage.write_table(
+            pairs.groupBy("_bk").agg(F.count("*").alias("pair_count")), "block_pairs"
+        )
+    return pairs.select("id_1", "id_2").dropDuplicates(["id_1", "id_2"])
+
+
+# ---------------------------------------------------------------------------
+# Domain key builders
+# ---------------------------------------------------------------------------
+
+def physician_block_keys(records: DataFrame, cfg: ResolutionConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Reference strategies B1–B3 on a normalized records frame with columns
+    (source_id, npi, name_last, facility_state)."""
+    by_npi = exact_block_keys(
+        records, "source_id",
+        F.when(F.col("npi").isNotNull(), F.concat(F.lit("npi:"), F.col("npi"))), "npi",
+    )
+    by_last_state = exact_block_keys(
+        records, "source_id",
+        F.when(
+            F.col("name_last").isNotNull(),
+            F.concat_ws("|", F.lit("ls:"), F.upper("name_last"),
+                        F.coalesce(F.upper("facility_state"), F.lit("XX"))),
+        ),
+        "last_state",
+    )
+    frames = [by_npi, by_last_state]
+    if cfg.use_soundex_blocking:
+        snd = records.where(F.col("name_last").isNotNull())
+        frames.append(
+            exact_block_keys(
+                snd, "source_id",
+                F.concat_ws("|", F.lit("sx:"), F.soundex(F.upper("name_last")),
+                            F.coalesce(F.upper("facility_state"), F.lit("XX"))),
+                "soundex_state",
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
+def code_file_block_keys(
+    files: DataFrame, cfg: ResolutionConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """north_star strategies over files(file_id, path_norm, lang, content):
+    (lang, path-stem token key) + MinHash/LSH bands over content."""
+    stem = F.regexp_extract(F.col("path_norm"), r"([^/]+)$", 1)
+    stem_key = F.concat_ws("|", F.lit("ps:"), F.col("lang"),
+                           F.array_join(F.array_sort(F.split(stem, r"[^a-z0-9]+")), "_"))
+    by_path = exact_block_keys(files, "file_id", stem_key, "lang_pathstem")
+    by_minhash = minhash_band_keys(files, "file_id", "content", cfg)
+    return by_path.unionByName(by_minhash)

@@ -1,0 +1,74 @@
+"""Match classification (SURVEY.md §2.6, C1–C4) — pure `F.when` ladders.
+
+Reference semantics: /root/reference/src/physician_resolution/matching/
+classifier.py:13-79 (thresholds config.py:15-16).  All JVM-side, codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+
+MATCH, NON_MATCH, UNCERTAIN = "match", "non_match", "uncertain"
+
+
+def classify(scored: DataFrame, cfg: ResolutionConfig = DEFAULT_CONFIG,
+             authoritative_col: str = "npi_match") -> DataFrame:
+    """C1: decision + confidence.  ``authoritative_col`` is the tri-state
+    trump column (npi_match in the physician domain; for the code domain pass
+    a 1.0/NULL column derived from sha_equal)."""
+    mt, nt = cfg.match_threshold, cfg.non_match_threshold
+    mid = (mt + nt) / 2.0
+    s = F.col("overall_score")
+    auth = F.col(authoritative_col)
+
+    decision = (
+        F.when(auth == 0.0, NON_MATCH)
+        .when(auth == 1.0, MATCH)
+        .when(s >= mt, MATCH)
+        .when(s <= nt, NON_MATCH)
+        .otherwise(UNCERTAIN)
+    )
+    confidence = (
+        F.when(auth == 0.0, 1.0)
+        .when(auth == 1.0, 0.95)
+        .when(s >= mt, F.least(F.lit(0.95), (s - mt) / (1.0 - mt) + 0.7))
+        .when(s <= nt, F.least(F.lit(0.95), (F.lit(nt) - s) / nt + 0.7))
+        .otherwise(F.lit(0.3) + F.abs(s - mid) * 0.4)
+    )
+    return scored.withColumn("decision", decision).withColumn("confidence", confidence)
+
+
+def determine_match_type(classified: DataFrame,
+                         name_col: str = "name_similarity",
+                         loc_col: str = "location_score",
+                         spec_col: str = "specialty_match",
+                         authoritative_col: str = "npi_match") -> DataFrame:
+    """C2 audit label (classifier.py:56-79)."""
+    name, loc, spec = F.col(name_col), F.col(loc_col), F.col(spec_col)
+    mt = (
+        F.when(F.col(authoritative_col) == 1.0, "npi_exact")
+        .when((name >= 0.9) & (loc >= 0.7), "name_location_strong")
+        .when((name >= 0.9) & spec.isNotNull() & (spec >= 0.9), "name_specialty")
+        .when(name >= 0.9, "name_strong")
+        .when((name >= 0.7) & (loc >= 0.7), "name_location")
+        .when(name >= 0.7, "name_moderate")
+        .otherwise("weak")
+    )
+    return classified.withColumn("match_type", mt)
+
+
+def decision_tallies(classified: DataFrame) -> DataFrame:
+    """C3's match/non-match/uncertain counters (A3) as a groupBy."""
+    return classified.groupBy("decision").agg(F.count("*").alias("n"))
+
+
+def confirmed_matches(classified: DataFrame,
+                      cfg: ResolutionConfig = DEFAULT_CONFIG) -> DataFrame:
+    """C4: (id_1, id_2, overall_score) for MATCH (+ UNCERTAIN if configured)."""
+    keep = [MATCH] + ([UNCERTAIN] if cfg.include_uncertain_matches else [])
+    return classified.where(F.col("decision").isin(keep)).select(
+        "id_1", "id_2", "overall_score"
+    )

@@ -1,0 +1,123 @@
+"""Transitive clustering: connected components (SURVEY.md G4).
+
+Replaces the reference's ``networkx.connected_components``
+(/root/reference/src/physician_resolution/graph/clustering.py:10-34) with the
+**alternating large-star / small-star** algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014) expressed as DataFrame
+joins + groupBy min-aggregations:
+
+- large-star: every node connects its strictly-larger neighbors to its
+  minimum neighbor — contracts high-degree (skewed) nodes.
+- small-star: every node connects its smaller-or-equal neighbors to the
+  minimum — builds stars pointing at component minima.
+
+Both phases are shuffle-on-node-id aggregations; AQE handles residual skew.
+Each iteration is ``checkpoint()``-ed (north_rule) so the logical plan does
+not grow with iteration count and an interrupted run resumes from the last
+materialized edge set.  Converges in O(log^2 n) rounds; component id is the
+minimum member id (deterministic).
+
+Works over any orderable id type; the pipeline feeds LongType ids for
+shuffle efficiency at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+from ..plans.lineage import NULL_LINEAGE, LineageLog
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbr = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = nbr.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.withColumn("m", F.least(F.col("mn"), F.col("u"))).select("u", "m")
+    return (
+        nbr.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    from_nbrs = (
+        oriented.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    from_self = m.select(F.col("u"), F.col("m").alias("v"))
+    return from_nbrs.union(from_self).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+    src: str = "id_1",
+    dst: str = "id_2",
+    id_col: str = "id",
+) -> DataFrame:
+    """Returns assignments ``(id, component_id)``; component_id = min member.
+
+    ``vertices`` (optional, single column ``id_col``) adds isolated nodes as
+    singleton components — matching the reference graph, whose nodes are all
+    records, edges only confirmed matches (graph/builder.py:28-68).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src) != F.col(dst)
+    ).distinct()
+
+    prev: DataFrame | None = None
+    cur = e.checkpoint(eager=True)
+    for it in range(cfg.cc_max_iterations):
+        nxt = _small_star(_large_star(cur)).checkpoint(eager=True)
+        n_new = nxt.count()
+        if prev is not None:
+            # converged when the (deduped) edge set is stable
+            if n_new == prev[1] and nxt.join(prev[0], ["u", "v"], "left_anti").limit(1).count() == 0:
+                cur = nxt
+                lineage.log("cc.converged", iterations=it + 1, star_edges=n_new)
+                break
+        prev = (nxt, n_new)
+        cur = nxt
+    else:
+        lineage.log("cc.max_iterations_hit", iterations=cfg.cc_max_iterations)
+
+    assign = cur.select(F.col("u").alias(id_col), F.col("v").alias("component_id"))
+    # roots (and edge-endpoints that appear only as targets) map to themselves
+    endpoints = e.select(F.col("u").alias(id_col)).union(e.select(F.col("v").alias(id_col))).distinct()
+    base = vertices.select(F.col(id_col)).distinct() if vertices is not None else endpoints
+    out = (
+        base.join(assign, id_col, "left")
+        .select(id_col, F.coalesce("component_id", F.col(id_col)).alias("component_id"))
+    )
+    return out
+
+
+def cluster_sizes(assignments: DataFrame) -> DataFrame:
+    return assignments.groupBy("component_id").agg(F.count("*").alias("size"))
+
+
+def assign_cluster_labels(assignments: DataFrame) -> DataFrame:
+    """G10 (clustering.py:73-87): ``CLUSTER_{rank:05d}`` by size desc,
+    deterministic tiebreak on component_id."""
+    from pyspark.sql import Window as W
+
+    sizes = cluster_sizes(assignments)
+    w = W.orderBy(F.col("size").desc(), F.col("component_id"))
+    labeled = sizes.withColumn(
+        "cluster_label",
+        F.format_string("CLUSTER_%05d", F.row_number().over(w) - 1),
+    )
+    return assignments.join(labeled, "component_id").select(
+        "id", "component_id", "cluster_label", "size"
+    )

@@ -1,0 +1,180 @@
+"""Identity-graph construction & quality (SURVEY.md G1–G3, G11–G13).
+
+The reference keeps an in-memory ``networkx.Graph``
+(/root/reference/src/physician_resolution/graph/builder.py:11-137).  Here the
+graph IS two DataFrames — ``vertices`` (the records) and ``edges`` — and
+every graph op below is a join/groupBy.  Per-component *algorithmic*
+diagnostics (bridges, articulation points) run networkx **inside**
+``applyInPandas`` — component-local, bounded by max_cluster_size, embarrassingly
+parallel (SURVEY §2.13).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+
+
+def _reliability_expr(col, cfg: ResolutionConfig):
+    expr = F.lit(0.5)
+    for src, rel in cfg.source_reliability.items():
+        expr = F.when(col == src, F.lit(rel)).otherwise(expr)
+    return expr
+
+
+def build_edges(
+    records: DataFrame,
+    matches: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """G1–G3: decorate confirmed matches (id_1, id_2, overall_score) with
+    edge type (builder.py:71-92), source pair, and reliability-adjusted
+    weight (builder.py:95-137): w = score * avg(rel) * 1.1^cross, cap 0.99."""
+    a = records.select(
+        F.col("source_id").alias("id_1"),
+        F.col("npi").alias("npi_1"),
+        F.col("source").alias("source_1"),
+    )
+    b = records.select(
+        F.col("source_id").alias("id_2"),
+        F.col("npi").alias("npi_2"),
+        F.col("source").alias("source_2"),
+    )
+    e = matches.join(a, "id_1").join(b, "id_2")
+    edge_type = (
+        F.when(
+            F.col("npi_1").isNotNull()
+            & F.col("npi_2").isNotNull()
+            & (F.col("npi_1") == F.col("npi_2")),
+            "npi_exact",
+        )
+        .when(F.col("overall_score") >= 0.85, "name_strong")
+        .when(F.col("overall_score") >= 0.6, "name_moderate")
+        .otherwise("weak")
+    )
+    rel1 = _reliability_expr(F.col("source_1"), cfg)
+    rel2 = _reliability_expr(F.col("source_2"), cfg)
+    cross = F.when(F.col("source_1") != F.col("source_2"), 1.1).otherwise(1.0)
+    weight = F.least(F.lit(0.99), F.col("overall_score") * ((rel1 + rel2) / 2) * cross)
+    return e.select(
+        "id_1", "id_2",
+        weight.alias("weight"),
+        edge_type.alias("match_type"),
+        F.concat_ws("|", "source_1", "source_2").alias("sources"),
+    )
+
+
+def cluster_quality(
+    records: DataFrame,
+    edges: DataFrame,
+    assignments: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """G13 (graph/quality.py semantics): per-cluster size, avg/min edge
+    weight, density, distinct-NPI count, conflict flag, warnings array, and
+    a penalty-product quality score (NPI conflict -> x0.1)."""
+    rec = records.join(
+        assignments.withColumnRenamed("id", "source_id"), "source_id"
+    )
+    node_stats = rec.groupBy("component_id").agg(
+        F.count("*").alias("size"),
+        F.countDistinct("npi").alias("npi_count"),
+        F.countDistinct("facility_state").alias("state_count"),
+        F.countDistinct("source").alias("source_count"),
+    )
+    e = edges.join(
+        assignments.select(F.col("id").alias("id_1"), F.col("component_id")), "id_1"
+    )
+    edge_stats = e.groupBy("component_id").agg(
+        F.count("*").alias("n_edges"),
+        F.round(F.avg("weight"), 6).alias("avg_weight"),
+        F.round(F.min("weight"), 6).alias("min_weight"),
+    )
+    q = node_stats.join(edge_stats, "component_id", "left").fillna(
+        {"n_edges": 0}
+    )
+    density = F.when(
+        F.col("size") > 1,
+        F.col("n_edges") / (F.col("size") * (F.col("size") - 1) / 2),
+    ).otherwise(F.lit(1.0))
+    npi_conflict = F.col("npi_count") > 1
+    quality = (
+        F.coalesce(F.col("avg_weight"), F.lit(0.5))
+        * F.when(npi_conflict, 0.1).otherwise(1.0)
+        * F.when(F.col("size") > cfg.max_cluster_size / 2, 0.5).otherwise(1.0)
+    )
+    warnings = F.array_compact(
+        F.array(
+            F.when(npi_conflict, F.lit("npi_conflict")),
+            F.when(F.col("size") > cfg.max_cluster_size / 2, F.lit("large_cluster")),
+            F.when(F.col("state_count") > 3, F.lit("many_states")),
+            F.when(F.coalesce(F.col("min_weight"), F.lit(1.0)) < cfg.min_edge_weight,
+                   F.lit("weak_edge")),
+        )
+    )
+    return q.select(
+        "component_id", "size", "n_edges", "avg_weight", "min_weight",
+        F.round(density, 6).alias("density"),
+        "npi_count", "state_count", "source_count",
+        npi_conflict.alias("npi_conflict"),
+        F.round(quality, 6).alias("quality_score"),
+        warnings.alias("warnings"),
+    )
+
+
+def detect_overmatching(quality: DataFrame,
+                        cfg: ResolutionConfig = DEFAULT_CONFIG) -> DataFrame:
+    """G11 (graph/overmatching.py:10-97): heuristic flags per cluster."""
+    flags = F.array_compact(
+        F.array(
+            F.when(F.col("npi_conflict"), F.lit("npi_conflict")),
+            F.when(F.col("size") > 50, F.lit("very_large")),
+            F.when(F.col("size") > 20, F.lit("large")),
+            F.when(F.col("state_count") > 3, F.lit("geographic_spread")),
+        )
+    )
+    return quality.select(
+        "component_id", "size", flags.alias("overmatch_flags")
+    ).where(F.size(flags) > 0)
+
+
+GRAPH_DIAG_SCHEMA = (
+    "component_id string, n_nodes int, n_bridges int, n_articulation int, "
+    "cohesion double"
+)
+
+
+def component_graph_diagnostics(
+    edges: DataFrame, assignments: DataFrame
+) -> DataFrame:
+    """G8-helper/G12: per-component bridges / articulation points / cohesion
+    via networkx inside applyInPandas (components bounded by G7)."""
+    e = edges.join(
+        assignments.select(F.col("id").alias("id_1"), "component_id"), "id_1"
+    ).select("component_id", "id_1", "id_2", "weight")
+
+    def diag(pdf: pd.DataFrame) -> pd.DataFrame:
+        import networkx as nx
+
+        g = nx.Graph()
+        for r in pdf.itertuples():
+            g.add_edge(r.id_1, r.id_2, weight=r.weight)
+        n = g.number_of_nodes()
+        bridges = list(nx.bridges(g)) if n > 2 else []
+        arts = list(nx.articulation_points(g)) if n > 2 else []
+        max_e = n * (n - 1) / 2
+        cohesion = g.number_of_edges() / max_e if max_e else 1.0
+        return pd.DataFrame(
+            [{
+                "component_id": pdf["component_id"].iloc[0],
+                "n_nodes": n,
+                "n_bridges": len(bridges),
+                "n_articulation": len(arts),
+                "cohesion": cohesion,
+            }]
+        )
+
+    return e.groupBy("component_id").applyInPandas(diag, schema=GRAPH_DIAG_SCHEMA)

@@ -1,0 +1,320 @@
+"""Pairwise scoring (SURVEY.md §2.5, F1–F9) — the engine's hot loop.
+
+The reference scores each candidate pair in a Python ``for`` loop
+(/root/reference/src/physician_resolution/matching/classifier.py:101-126).
+Here the same similarity semantics are computed batched:
+
+- Everything tri-state / threshold-shaped stays **JVM-side** as `F.when`
+  column expressions (NPI tri-state F1, location tiers F6, overall combine
+  F8) — whole-stage-codegen, no Python.
+- The string kernels (Jaro-Winkler, token-sort, partial-ratio, Jaccard,
+  TF-cosine) run in **one `mapInPandas` stage** per pairs frame: a single
+  Arrow transfer of the join-decorated batch, an in-batch memo cache for
+  repeated strings, and a per-batch latency column that feeds the lineage
+  table (north_rule: score-batch latency per partition).
+
+NULL semantics are load-bearing and mirror the reference exactly:
+npi_match / specialty_match may be NULL = "cannot compare", distinct from
+0.0 = "hard conflict / different".
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+from ..functions import strsim
+from ..functions import text as textfn
+from ..functions.geo import haversine_miles, location_tier_score
+
+# ---------------------------------------------------------------------------
+# Code-file domain (north_star): JW(path), JW(repo), token Jaccard, TF cosine
+# ---------------------------------------------------------------------------
+
+CODE_SCORE_SCHEMA = (
+    "id_1 string, id_2 string, sha_equal boolean, jw_path double, jw_repo double, "
+    "jaccard double, cosine double, batch_ms double"
+)
+
+
+def _decorate_pairs(files: DataFrame, pairs: DataFrame, cols: list[str]) -> DataFrame:
+    """Join both sides' attributes onto the pairs frame (J2-shaped)."""
+    a = files.select(F.col("file_id").alias("id_1"), *[F.col(c).alias(f"{c}_1") for c in cols])
+    b = files.select(F.col("file_id").alias("id_2"), *[F.col(c).alias(f"{c}_2") for c in cols])
+    return pairs.join(a, "id_1").join(b, "id_2")
+
+
+def score_code_pairs(
+    files: DataFrame, pairs: DataFrame, cfg: ResolutionConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Kernel scores for code-file pairs + classification-ready columns.
+
+    Output: id_1, id_2, sha_equal, jw_path, jw_repo, jaccard, cosine,
+    content_sim (tiered cosine), overall_score, batch_ms.
+    """
+    shingle_k = cfg.shingle_size
+    decorated = _decorate_pairs(
+        files, pairs, ["path_norm", "repo", "content", "content_sha"]
+    )
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok_cache: dict[str, object] = {}
+        tf_cache: dict[str, object] = {}
+
+        def toks(s: str):
+            v = tok_cache.get(s)
+            if v is None:
+                v = textfn.token_hashes(s)
+                tok_cache[s] = v
+            return v
+
+        def tf(s: str):
+            v = tf_cache.get(s)
+            if v is None:
+                v = textfn.shingle_tf(s, k=shingle_k)
+                tf_cache[s] = v
+            return v
+
+        for pdf in batches:
+            t0 = time.perf_counter()
+            n = len(pdf)
+            jw_path = [
+                strsim.jaro_winkler_similarity(p1, p2)
+                for p1, p2 in zip(pdf["path_norm_1"], pdf["path_norm_2"])
+            ]
+            jw_repo = [
+                strsim.jaro_winkler_similarity(r1, r2)
+                for r1, r2 in zip(pdf["repo_1"], pdf["repo_2"])
+            ]
+            jac, cos = [], []
+            for c1, c2, s1, s2 in zip(
+                pdf["content_1"], pdf["content_2"], pdf["content_sha_1"], pdf["content_sha_2"]
+            ):
+                if s1 == s2:
+                    jac.append(1.0)
+                    cos.append(1.0)
+                    continue
+                jac.append(textfn.jaccard(toks(c1), toks(c2)))
+                h1, w1 = tf(c1)
+                h2, w2 = tf(c2)
+                cos.append(textfn.tf_cosine(h1, w1, h2, w2))
+            ms = (time.perf_counter() - t0) * 1000.0
+            yield pd.DataFrame(
+                {
+                    "id_1": pdf["id_1"],
+                    "id_2": pdf["id_2"],
+                    "sha_equal": (pdf["content_sha_1"] == pdf["content_sha_2"]),
+                    "jw_path": jw_path,
+                    "jw_repo": jw_repo,
+                    "jaccard": jac,
+                    "cosine": cos,
+                    "batch_ms": [ms] * n,
+                }
+            )
+
+    scored = decorated.mapInPandas(score_batches, schema=CODE_SCORE_SCHEMA)
+
+    # tiered content similarity (analog of the reference's location tiers,
+    # similarity.py:89-130, transferred per SURVEY §1.3)
+    content_tier = (
+        F.when(F.col("cosine") >= 0.95, 1.0)
+        .when(F.col("cosine") >= 0.80, 0.8)
+        .when(F.col("cosine") >= 0.60, 0.5)
+        .when(F.col("cosine") >= 0.40, 0.3)
+        .otherwise(0.1)
+    )
+    # overall combine keeps the reference F8 shape (similarity.py:256-291):
+    # authoritative id (content sha) trumps; else weighted name/location/
+    # specialty analog = path-JW / content-tier / token-Jaccard.
+    path_sim = F.col("jw_path") * 0.8 + F.col("jw_repo") * 0.2
+    overall = F.when(F.col("sha_equal"), F.lit(cfg.authoritative_match_score)).otherwise(
+        F.least(
+            F.lit(1.0),
+            path_sim * cfg.weight_name
+            + F.col("content_tier") * cfg.weight_location
+            + F.col("jaccard") * cfg.weight_specialty,
+        )
+    )
+    return (
+        scored.withColumn("content_tier", content_tier)
+        .withColumn("overall_score", overall)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Physician domain (reference parity): F1–F9
+# ---------------------------------------------------------------------------
+
+NAME_SCORE_SCHEMA = (
+    "id_1 string, id_2 string, name_similarity double, first_sim double, "
+    "last_sim double, specialty_fuzzy double, batch_ms double"
+)
+
+_REF_SPECIALTY_CANON = {
+    "INTERNAL MED": "INTERNAL MEDICINE", "INT MEDICINE": "INTERNAL MEDICINE",
+    "IM": "INTERNAL MEDICINE",
+    "FAMILY MED": "FAMILY MEDICINE", "FAMILY PRACTICE": "FAMILY MEDICINE",
+    "FP": "FAMILY MEDICINE",
+    "CARDIOVASCULAR DISEASE": "CARDIOLOGY", "CARDIOVASCULAR MED": "CARDIOLOGY",
+    "CV": "CARDIOLOGY",
+    "ORTHOPAEDIC SURGERY": "ORTHOPEDIC SURGERY", "ORTHOPEDICS": "ORTHOPEDIC SURGERY",
+    "ORTHO": "ORTHOPEDIC SURGERY",
+    "SURGERY": "GENERAL SURGERY", "GEN SURGERY": "GENERAL SURGERY",
+    "PEDIATRIC MEDICINE": "PEDIATRICS", "PEDS": "PEDIATRICS",
+    "OB/GYN": "OBSTETRICS & GYNECOLOGY", "OB-GYN": "OBSTETRICS & GYNECOLOGY",
+    "OBSTETRICS AND GYNECOLOGY": "OBSTETRICS & GYNECOLOGY",
+    "GI": "GASTROENTEROLOGY", "GASTRO": "GASTROENTEROLOGY",
+    "GI MEDICINE": "GASTROENTEROLOGY",
+    "ER": "EMERGENCY MEDICINE", "EMERGENCY MED": "EMERGENCY MEDICINE",
+    "EM": "EMERGENCY MEDICINE",
+}
+
+
+def _canon_specialty(s: str | None) -> str | None:
+    if s is None:
+        return None
+    u = s.upper().strip()
+    return _REF_SPECIALTY_CANON.get(u, u)
+
+
+def _name_sim_full(n1: str | None, n2: str | None) -> float:
+    """F2 (similarity.py:14-45): 0.4·JW + 0.4·token_sort + 0.2·partial."""
+    if not n1 or not n2:
+        return 0.0
+    a, b = n1.upper().strip(), n2.upper().strip()
+    if a == b:
+        return 1.0
+    return min(
+        0.4 * strsim.jaro_winkler_similarity(a, b)
+        + 0.4 * strsim.token_sort_ratio(a, b)
+        + 0.2 * strsim.partial_ratio(a, b),
+        1.0,
+    )
+
+
+def _first_sim(f1: str | None, f2: str | None) -> float:
+    """F3 (similarity.py:48-67): missing->0.5 neutral, initial-prefix->0.8."""
+    if not f1 or not f2:
+        return 0.5
+    a, b = f1.upper().strip(), f2.upper().strip()
+    if a == b:
+        return 1.0
+    if len(a) == 1 and b.startswith(a):
+        return 0.8
+    if len(b) == 1 and a.startswith(b):
+        return 0.8
+    return strsim.jaro_winkler_similarity(a, b)
+
+
+def _last_sim(l1: str | None, l2: str | None) -> float:
+    """F4 (similarity.py:70-86): strip '/-/space, exact->1.0 else JW."""
+    if not l1 or not l2:
+        return 0.0
+    a = l1.upper().strip().replace("'", "").replace("-", "").replace(" ", "")
+    b = l2.upper().strip().replace("'", "").replace("-", "").replace(" ", "")
+    if a == b:
+        return 1.0
+    return strsim.jaro_winkler_similarity(a, b)
+
+
+def _specialty_fuzzy(s1: str | None, s2: str | None) -> float | None:
+    """F7 (similarity.py:133-178): NULL missing; canonical map; ratio>0.8."""
+    if not s1 or not s2:
+        return None
+    a, b = s1.upper().strip(), s2.upper().strip()
+    if a == b or _canon_specialty(a) == _canon_specialty(b):
+        return 1.0
+    r = strsim.seq_ratio(a, b)
+    return r if r > 0.8 else 0.0
+
+
+def score_physician_pairs(
+    records: DataFrame, pairs: DataFrame, cfg: ResolutionConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """F1–F9 over candidate pairs of normalized physician records.
+
+    Output columns: id_1, id_2, npi_match, name_similarity, specialty_match,
+    location_score, overall_score (NULL semantics as in the reference).
+    """
+    cols = ["npi", "name_first", "name_last", "specialty",
+            "latitude", "longitude", "facility_state"]
+    a = records.select(F.col("source_id").alias("id_1"),
+                       *[F.col(c).alias(f"{c}_1") for c in cols])
+    b = records.select(F.col("source_id").alias("id_2"),
+                       *[F.col(c).alias(f"{c}_2") for c in cols])
+    dec = pairs.join(a, "id_1").join(b, "id_2")
+
+    def name_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t0 = time.perf_counter()
+            last = [
+                _last_sim(x, y) for x, y in zip(pdf["name_last_1"], pdf["name_last_2"])
+            ]
+            first = [
+                _first_sim(x, y) for x, y in zip(pdf["name_first_1"], pdf["name_first_2"])
+            ]
+            spec = pd.array(
+                [
+                    _specialty_fuzzy(x, y)
+                    for x, y in zip(pdf["specialty_1"], pdf["specialty_2"])
+                ],
+                dtype="Float64",  # nullable: NULL must survive Arrow (SURVEY §1.2)
+            )
+            name = [l * 0.6 + f * 0.4 for l, f in zip(last, first)]  # F5
+            ms = (time.perf_counter() - t0) * 1000.0
+            yield pd.DataFrame(
+                {
+                    "id_1": pdf["id_1"], "id_2": pdf["id_2"],
+                    "name_similarity": name, "first_sim": first, "last_sim": last,
+                    "specialty_fuzzy": spec, "batch_ms": [ms] * len(pdf),
+                }
+            )
+
+    name_scores = dec.select(
+        "id_1", "id_2", "name_first_1", "name_first_2", "name_last_1", "name_last_2",
+        "specialty_1", "specialty_2",
+    ).mapInPandas(name_batches, schema=NAME_SCORE_SCHEMA)
+
+    dec2 = dec.join(name_scores, ["id_1", "id_2"])
+
+    # F1 — NPI tri-state, pure JVM expression (similarity.py:181-206)
+    valid1 = F.col("npi_1").rlike(r"^[0-9]{10}$")
+    valid2 = F.col("npi_2").rlike(r"^[0-9]{10}$")
+    npi_match = (
+        F.when(F.col("npi_1").isNull() | F.col("npi_2").isNull(), F.lit(None).cast("double"))
+        .when(~valid1 | ~valid2, F.lit(None).cast("double"))
+        .when(F.col("npi_1") == F.col("npi_2"), 1.0)
+        .otherwise(0.0)
+    )
+    # F6 — location tiers over haversine (geocoder.py:102-126 + similarity.py:89-130)
+    dist = haversine_miles(F.col("latitude_1"), F.col("longitude_1"),
+                           F.col("latitude_2"), F.col("longitude_2"))
+    loc = location_tier_score(dist, F.col("facility_state_1"), F.col("facility_state_2"))
+
+    scored = (
+        dec2.withColumn("npi_match", npi_match)
+        .withColumn("location_score", loc)
+        .withColumnRenamed("specialty_fuzzy", "specialty_match")
+    )
+    # F8 — overall combine with NULL-specialty weight redistribution
+    base = (
+        F.col("name_similarity") * cfg.weight_name
+        + F.col("location_score") * cfg.weight_location
+        + F.when(F.col("specialty_match").isNotNull(),
+                 F.col("specialty_match") * cfg.weight_specialty)
+         .otherwise(F.col("name_similarity") * cfg.weight_specialty)
+    )
+    overall = (
+        F.when(F.col("npi_match") == 1.0, F.lit(cfg.authoritative_match_score))
+        .when(F.col("npi_match") == 0.0, F.lit(0.0))
+        .otherwise(F.least(F.lit(1.0), base))
+    )
+    return scored.withColumn("overall_score", overall).select(
+        "id_1", "id_2", "npi_match", "name_similarity", "specialty_match",
+        "location_score", "overall_score", "batch_ms",
+    )

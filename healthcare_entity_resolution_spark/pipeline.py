@@ -1,0 +1,117 @@
+"""End-to-end resolution pipelines (SURVEY.md §3.1 lifecycle).
+
+``resolve_files`` is the flagship: blocking -> scoring -> classification ->
+connected components -> canonical entities over a
+``files(repo, path, commit, lang, content)`` corpus.
+
+Stage boundaries that shuffle: blocking self-join, CC iterations,
+survivorship groupBy.  ``files`` and ``pairs`` are persisted across their
+two consumers and unpersisted when the stage ends.  Component ids are the
+minimum member file_id (sha256 hex) — deterministic across runs and cluster
+sizes by construction.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, ResolutionConfig
+from .operators import blocking as B
+from .operators import classify as C
+from .operators import components as G
+from .operators import normalize as N
+from .operators import scoring as S
+from .plans.lineage import NULL_LINEAGE, LineageLog
+
+
+def resolve_files(
+    spark: SparkSession,
+    raw_files: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+) -> dict[str, DataFrame]:
+    """Full code-corpus entity resolution.  Returns the stage DataFrames:
+    files, pairs, scored, classified, matches, assignments, entities."""
+    t0 = time.perf_counter()
+    files = N.normalize_files(raw_files).persist()
+    n_files = files.count()
+    lineage.log("normalize", rows=n_files, sec=time.perf_counter() - t0)
+
+    t1 = time.perf_counter()
+    keys = B.code_file_block_keys(files, cfg)
+    pairs = B.candidate_pairs(keys, cfg, lineage).persist()
+    n_pairs = pairs.count()
+    lineage.log("blocking", pairs=n_pairs, sec=time.perf_counter() - t1)
+
+    t2 = time.perf_counter()
+    scored = S.score_code_pairs(files, pairs, cfg)
+    # authoritative trump column: content sha equality (NPI analog; equal ->
+    # same entity at 0.95; inequality is NOT a conflict, unlike NPI)
+    scored = scored.withColumn(
+        "auth", F.when(F.col("sha_equal"), F.lit(1.0)).otherwise(F.lit(None).cast("double"))
+    )
+    classified = C.classify(scored, cfg, authoritative_col="auth").persist()
+    n_scored = classified.count()
+    score_sec = time.perf_counter() - t2
+    lineage.log("scoring", pairs=n_scored, sec=score_sec,
+                pairs_per_sec=(n_scored / score_sec if score_sec > 0 else None))
+    # per-partition score-batch latency -> lineage (north_rule)
+    lineage.write_table(
+        classified.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias("pairs"), F.avg("batch_ms").alias("avg_batch_ms")
+        ),
+        "score_batches",
+    )
+
+    t3 = time.perf_counter()
+    matches = C.confirmed_matches(classified, cfg)
+    assignments = G.connected_components(
+        matches,
+        vertices=files.select(F.col("file_id").alias("id")),
+        cfg=cfg,
+        lineage=lineage,
+    ).persist()
+    n_nodes = assignments.count()
+    lineage.log("clustering", nodes=n_nodes, sec=time.perf_counter() - t3)
+
+    entities = (
+        assignments.join(files, assignments["id"] == files["file_id"])
+        .groupBy("component_id")
+        .agg(
+            F.count("*").alias("member_count"),
+            F.min("file_id").alias("min_file_id"),
+            F.collect_set("lang").alias("langs"),
+            F.collect_set("repo").alias("repos"),
+            F.countDistinct("content_sha").alias("distinct_contents"),
+        )
+        .withColumn(
+            "entity_id",
+            F.concat(F.lit("ENT_"), F.substring("min_file_id", 1, 16)),
+        )
+    )
+    pairs.unpersist()
+    lineage.log("pipeline.done", sec=time.perf_counter() - t0, files=n_files,
+                pairs=n_pairs, nodes=n_nodes)
+    return {
+        "files": files,
+        "pairs": pairs,
+        "classified": classified,
+        "matches": matches,
+        "assignments": assignments,
+        "entities": entities,
+    }
+
+
+def documents_as_files(documents: DataFrame) -> DataFrame:
+    """Adapter: the testdata ``documents(doc_id, text, lang, source)`` table
+    viewed as a files corpus (source->repo, doc_id->path, content=text)."""
+    return documents.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.lit("HEAD").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

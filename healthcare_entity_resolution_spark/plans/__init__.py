@@ -1,0 +1,1 @@
+"""Lineage & metrics plumbing (per-partition stage stats, resume bookkeeping)."""

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the sandbox (local[N]) and for scale.
+
+All settings are plain public Spark confs.  AQE is on so skewed blocking
+joins get runtime re-planned; Arrow is on for the pandas-UDF scoring path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_CHECKPOINT_DIR = os.path.join(tempfile.gettempdir(), "her_spark_checkpoints")
+
+
+def get_spark(
+    app_name: str = "healthcare_entity_resolution_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession.
+
+    ``cores=None`` -> ``local[*]``.  ``shuffle_partitions`` defaults to the
+    core count — the right size for local mode; on a real cluster this is
+    overridden via spark-submit conf (and AQE coalesces at runtime anyway).
+    """
+    cpus = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    master = f"local[{cpus}]"
+    nshuffle = shuffle_partitions or max(int(cpus), 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("HER_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    os.makedirs(_CHECKPOINT_DIR, exist_ok=True)
+    spark.sparkContext.setCheckpointDir(_CHECKPOINT_DIR)
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

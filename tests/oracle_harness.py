@@ -1,0 +1,70 @@
+"""Local re-implementation of the driver's Spark-vs-DuckDB comparison:
+row count + schema-insensitive, order-insensitive value comparison with
+columns sorted by name.  Used by tests/test_entry.py and iterated manually.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except ImportError:
+        pass
+    return v
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+def compare(spark_df, con, sql: str, name: str) -> tuple[bool, str]:
+    s_cols = sorted(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
+        return False, f"{name}: column mismatch spark={s_cols} duck={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
+    sn = _normalize(s_rows, spark_df.columns)
+    dn = _normalize(d_rows, d_cols)
+    if sn != dn:
+        diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+        return False, f"{name}: value mismatch, first diffs {diff}"
+    return True, f"{name}: OK ({len(s_rows)} rows)"

@@ -1,0 +1,35 @@
+"""Driver-contract parity: every oracle_sql() entry must match its
+queries() entry under the driver's comparison (row count + sorted-column
+order-insensitive values), locally re-implemented in oracle_harness."""
+
+import pytest
+
+import __spark_entry__ as E
+from oracle_harness import compare, duck_con
+
+
+@pytest.fixture(scope="module")
+def con(sf_small):
+    return duck_con(sf_small)
+
+
+def test_all_queries_have_callables():
+    qs = E.queries()
+    assert len(qs) >= 20
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+@pytest.mark.parametrize("name", sorted(E.oracle_sql().keys()))
+def test_oracle_parity(spark, con, sf_small, name):
+    fn = E.queries()[name]
+    sql = E.oracle_sql()[name]
+    ok, msg = compare(fn(spark, sf_small), con, sql, name)
+    assert ok, msg
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"entity_id", "member_count", "distinct_contents"}

@@ -1,0 +1,147 @@
+"""Physician-domain scoring parity (reference semantics from
+matching/similarity.py + classifier.py, re-expressed in SURVEY §2.5/2.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_entity_resolution_spark.operators import classify as C
+from healthcare_entity_resolution_spark.operators import scoring as S
+
+SCHEMA = (
+    "source_id string, npi string, name_first string, name_last string, "
+    "specialty string, latitude double, longitude double, facility_state string"
+)
+
+
+def _score(spark, rec1, rec2):
+    records = spark.createDataFrame([rec1, rec2], SCHEMA)
+    pairs = spark.createDataFrame([(rec1[0], rec2[0])], ["id_1", "id_2"])
+    return S.score_physician_pairs(records, pairs).collect()[0]
+
+
+def test_npi_match_trumps_everything(spark):
+    r = _score(
+        spark,
+        ("a", "1234567890", "JOHN", "SMITH", "CARDIOLOGY", 40.0, -74.0, "NY"),
+        ("b", "1234567890", "TOTALLY", "DIFFERENT", "PEDIATRICS", 34.0, -118.0, "CA"),
+    )
+    assert r["npi_match"] == 1.0
+    assert r["overall_score"] == pytest.approx(0.95)
+
+
+def test_npi_conflict_zeroes_score(spark):
+    r = _score(
+        spark,
+        ("a", "1234567890", "JOHN", "SMITH", "CARDIOLOGY", 40.0, -74.0, "NY"),
+        ("b", "9999999999", "JOHN", "SMITH", "CARDIOLOGY", 40.0, -74.0, "NY"),
+    )
+    assert r["npi_match"] == 0.0
+    assert r["overall_score"] == 0.0
+
+
+def test_malformed_npi_is_null_not_conflict(spark):
+    r = _score(
+        spark,
+        ("a", "12345", "JOHN", "SMITH", None, None, None, "NY"),
+        ("b", "1234567890", "JOHN", "SMITH", None, None, None, "NY"),
+    )
+    assert r["npi_match"] is None
+    assert r["overall_score"] > 0.0
+
+
+def test_initial_matches_first_name_08(spark):
+    r = _score(
+        spark,
+        ("a", None, "J", "SMITH", None, None, None, None),
+        ("b", None, "JOHN", "SMITH", None, None, None, None),
+    )
+    # name = 0.6*1.0 (last exact) + 0.4*0.8 (initial) = 0.92
+    assert r["name_similarity"] == pytest.approx(0.92)
+
+
+def test_missing_first_name_neutral_05(spark):
+    r = _score(
+        spark,
+        ("a", None, None, "SMITH", None, None, None, None),
+        ("b", None, "JOHN", "SMITH", None, None, None, None),
+    )
+    assert r["name_similarity"] == pytest.approx(0.6 + 0.4 * 0.5)
+
+
+def test_specialty_abbreviation_canonicalizes(spark):
+    r = _score(
+        spark,
+        ("a", None, "JOHN", "SMITH", "IM", None, None, None),
+        ("b", None, "JOHN", "SMITH", "INTERNAL MEDICINE", None, None, None),
+    )
+    assert r["specialty_match"] == 1.0
+
+
+def test_specialty_missing_is_null_and_weight_redistributes(spark):
+    r = _score(
+        spark,
+        ("a", None, "JOHN", "SMITH", None, 40.0, -74.0, "NY"),
+        ("b", None, "JOHN", "SMITH", None, 40.0, -74.0, "NY"),
+    )
+    assert r["specialty_match"] is None
+    # name=1.0, loc=1.0 (same point): 0.5*1 + 0.3*1 + 0.2*name(1.0) = 1.0
+    assert r["overall_score"] == pytest.approx(1.0)
+
+
+def test_location_tiers(spark):
+    base = ("a", None, "JOHN", "SMITH", None, 40.0, -74.0, "NY")
+    same = _score(spark, base, ("b", None, "JOHN", "SMITH", None, 40.0, -74.0, "NY"))
+    assert same["location_score"] == 1.0
+    far = _score(spark, base, ("b", None, "JOHN", "SMITH", None, 34.0, -118.0, "CA"))
+    assert far["location_score"] == pytest.approx(0.1)
+    state_only = _score(
+        spark, ("a", None, "J", "S", None, None, None, "NY"),
+        ("b", None, "J", "S", None, None, None, "NY"),
+    )
+    assert state_only["location_score"] == pytest.approx(0.3)
+    no_info = _score(
+        spark, ("a", None, "J", "S", None, None, None, None),
+        ("b", None, "J", "S", None, None, None, None),
+    )
+    assert no_info["location_score"] == pytest.approx(0.2)
+
+
+def test_classifier_ladder(spark):
+    rows = [
+        ("p1", "p2", 1.0, 0.99),   # authoritative match
+        ("p3", "p4", 0.0, 0.10),   # authoritative conflict
+        ("p5", "p6", None, 0.90),  # score match
+        ("p7", "p8", None, 0.20),  # score non-match
+        ("p9", "pa", None, 0.55),  # uncertain
+    ]
+    df = spark.createDataFrame(
+        rows, "id_1 string, id_2 string, npi_match double, overall_score double"
+    )
+    got = {(r["id_1"]): (r["decision"], r["confidence"])
+           for r in C.classify(df).collect()}
+    assert got["p1"] == ("match", 0.95)
+    assert got["p3"] == ("non_match", 1.0)
+    assert got["p5"][0] == "match"
+    assert got["p7"][0] == "non_match"
+    assert got["p9"][0] == "uncertain"
+    mid = (0.85 + 0.30) / 2
+    assert got["p9"][1] == pytest.approx(0.3 + abs(0.55 - mid) * 0.4)
+
+
+def test_match_type_ladder(spark):
+    df = spark.createDataFrame(
+        [("a", "b", None, 0.95, 0.95, 0.8, None)],
+        "id_1 string, id_2 string, npi_match double, overall_score double, "
+        "name_similarity double, location_score double, specialty_match double",
+    )
+    r = C.determine_match_type(C.classify(df)).collect()[0]
+    assert r["match_type"] == "name_location_strong"
+
+
+def test_confirmed_matches_filters(spark):
+    rows = [("a", "b", None, 0.9), ("c", "d", None, 0.5), ("e", "f", None, 0.1)]
+    df = spark.createDataFrame(
+        rows, "id_1 string, id_2 string, npi_match double, overall_score double"
+    )
+    out = C.confirmed_matches(C.classify(df)).collect()
+    assert [(r["id_1"], r["id_2"]) for r in out] == [("a", "b")]

@@ -1,0 +1,43 @@
+"""Kernel unit tests — values cross-checked against the published
+jellyfish/rapidfuzz reference values the reference repo relies on."""
+
+import pytest
+
+from healthcare_entity_resolution_spark.functions import strsim
+
+
+def test_jaro_winkler_known_values():
+    assert strsim.jaro_winkler_similarity("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert strsim.jaro_winkler_similarity("DWAYNE", "DUANE") == pytest.approx(0.84, abs=1e-4)
+    assert strsim.jaro_winkler_similarity("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-4)
+    assert strsim.jaro_winkler_similarity("SMITH", "SMITH") == 1.0
+    assert strsim.jaro_winkler_similarity("", "X") == 0.0
+
+
+def test_jaro_no_boost_below_07():
+    # boost only applies when jaro > 0.7
+    j = strsim.jaro_similarity("ABC", "XYZ")
+    assert j == 0.0
+    assert strsim.jaro_winkler_similarity("ABC", "XYZ") == 0.0
+
+
+def test_token_sort_handles_reordering():
+    assert strsim.token_sort_ratio("JOHN SMITH", "SMITH JOHN") == 1.0
+
+
+def test_partial_ratio_substring():
+    assert strsim.partial_ratio("SMITH", "JOHN SMITH") == 1.0
+
+
+def test_seq_ratio_bounds():
+    assert strsim.seq_ratio("abc", "abc") == 1.0
+    assert 0.0 <= strsim.seq_ratio("abcdef", "abcxyz") <= 1.0
+
+
+def test_soundex_classic_values():
+    assert strsim.soundex("Robert") == "R163"
+    assert strsim.soundex("Rupert") == "R163"
+    assert strsim.soundex("Tymczak") == "T522"
+    assert strsim.soundex("Smith") == strsim.soundex("Smyth") == "S530"
+    assert strsim.soundex("Pfister") == "P236"
+    assert strsim.soundex("Honeyman") == "H555"

@@ -1,0 +1,67 @@
+import numpy as np
+
+from healthcare_entity_resolution_spark.functions import text as tf
+
+
+def test_jaccard_exact():
+    a = tf.token_hashes("the quick brown fox")
+    b = tf.token_hashes("the quick brown dog")
+    assert tf.jaccard(a, b) == 0.6  # 3 shared / 5 union
+    assert tf.jaccard(a, a) == 1.0
+    assert tf.jaccard(a, np.empty(0, dtype=np.uint64)) == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.RandomState(0)
+    base = [f"tok{i}" for i in range(200)]
+    a = " ".join(base)
+    b = " ".join(base[:160] + [f"x{i}" for i in range(40)])  # true J = 160/240
+    sa = tf.minhash_signature(tf.token_hashes(a), num_perm=128)
+    sb = tf.minhash_signature(tf.token_hashes(b), num_perm=128)
+    est = float((sa == sb).mean())
+    assert abs(est - 160 / 240) < 0.15
+
+
+def test_minhash_deterministic():
+    h = tf.token_hashes("alpha beta gamma")
+    s1 = tf.minhash_signature(h, num_perm=64)
+    s2 = tf.minhash_signature(h.copy(), num_perm=64)
+    assert (s1 == s2).all()
+    assert tf.lsh_band_keys(s1) == tf.lsh_band_keys(s2)
+
+
+def test_lsh_identical_docs_share_all_bands():
+    s = tf.minhash_signature(tf.token_hashes("one two three four five"), num_perm=64)
+    assert len(set(tf.lsh_band_keys(s, bands=16))) == 16
+
+
+def test_simhash_near_duplicates_close():
+    a = " ".join(f"w{i}" for i in range(100))
+    b = " ".join(f"w{i}" for i in range(98)) + " zz yy"
+    ha = tf.simhash64(tf.token_hashes(a))
+    hb = tf.simhash64(tf.token_hashes(b))
+    hc = tf.simhash64(tf.token_hashes(" ".join(f"q{i}" for i in range(100))))
+    assert tf.hamming64(ha, hb) < tf.hamming64(ha, hc)
+
+
+def test_tf_cosine_self_and_disjoint():
+    h, c = tf.shingle_tf("hello world hello")
+    assert tf.tf_cosine(h, c, h, c) == 1.0
+    h2, c2 = tf.shingle_tf("zzzzzzqqqqqq")
+    assert tf.tf_cosine(h, c, h2, c2) < 0.2
+
+
+def test_shingle_hashes_vectorized_matches_naive():
+    text = "abcdefg"
+    got = set(tf.shingle_hashes(text, k=3).tolist())
+    naive = set()
+    b = text.encode()
+    for i in range(len(b) - 2):
+        naive.add(b[i] + (b[i + 1] << 8) + (b[i + 2] << 16))
+    assert got == naive
+
+
+def test_rolling_fingerprint_stable():
+    assert tf.rolling_fingerprint("some document text " * 10) == tf.rolling_fingerprint(
+        "some document text " * 10
+    )
