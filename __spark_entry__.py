@@ -112,15 +112,25 @@ def q_b2_block_composite(spark, sf):
 
 
 def q_b5_pair_count(spark, sf):
+    # |A ∪ B| for the two blocking strategies WITHOUT materializing the
+    # pair explosion: inclusion–exclusion over group-size C(n,2) sums.
+    # |A| = Σ_nation C(n,2); |B| = Σ_segment C(n,2); |A∩B| = pairs agreeing
+    # on BOTH keys = Σ_(nation,segment) C(n,2).  Equivalent to the
+    # enumerate-union-dedup plan (oracle does exactly that) but runs three
+    # cheap aggregations instead of an O(Σ n²) self-join — the plan a
+    # count-only blocking query should compile to at 100 TB.
     c = _t(spark, sf, "customer")
-    a = c.select(F.col("c_nationkey").alias("k"), F.col("c_custkey").alias("id_1"))
-    b = c.select(F.col("c_nationkey").alias("k"), F.col("c_custkey").alias("id_2"))
-    nat = a.join(b, "k").where(F.col("id_1") < F.col("id_2")).select("id_1", "id_2")
-    a2 = c.select(F.col("c_mktsegment").alias("k"), F.col("c_custkey").alias("id_1"))
-    b2 = c.select(F.col("c_mktsegment").alias("k"), F.col("c_custkey").alias("id_2"))
-    seg = a2.join(b2, "k").where(F.col("id_1") < F.col("id_2")).select("id_1", "id_2")
-    pairs = nat.union(seg).dropDuplicates(["id_1", "id_2"])
-    return pairs.agg(F.count("*").alias("n_pairs"))
+    c2 = lambda col: F.sum(F.expr(f"{col} * ({col} - 1) / 2"))  # noqa: E731
+    nat = c.groupBy("c_nationkey").agg(F.count("*").alias("n")).agg(c2("n").alias("a"))
+    seg = c.groupBy("c_mktsegment").agg(F.count("*").alias("n")).agg(c2("n").alias("b"))
+    both = (
+        c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+        .agg(c2("n").alias("ab"))
+    )
+    return (
+        nat.crossJoin(seg).crossJoin(both)
+        .select((F.col("a") + F.col("b") - F.col("ab")).cast("long").alias("n_pairs"))
+    )
 
 
 def q_j2_lookup(spark, sf):
@@ -275,6 +285,11 @@ def q_dedup_ngram_jaccard(spark, sf):
     b = base.select(F.col("lang"), F.col("bucket"), F.col("doc_id").alias("id_2"),
                     F.col("toks").alias("t2"))
     pairs = a.join(b, ["lang", "bucket"]).where(F.col("id_1") < F.col("id_2"))
+    # J >= 0.5 implies |t1∩t2| >= 0.5·max ⇒ min/max >= 0.5: prune pairs by
+    # set-size ratio BEFORE the O(|t|) intersect (result-set unchanged —
+    # the oracle runs without the prefilter and must agree)
+    n1, n2 = F.size("t1").cast("double"), F.size("t2").cast("double")
+    pairs = pairs.where(F.least(n1, n2) >= 0.5 * F.greatest(n1, n2))
     inter = F.size(F.array_intersect("t1", "t2")).cast("double")
     union = F.size(F.array_union("t1", "t2")).cast("double")
     jac = inter / union

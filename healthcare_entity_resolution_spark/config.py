@@ -35,6 +35,7 @@ class ResolutionConfig:
     shuffle_partitions: int = 32
     minhash_permutations: int = 64
     lsh_bands: int = 16                # 16 bands x 4 rows
+    minhash_shingle_k: int = 5         # char-shingle width for MinHash tokens
     shingle_size: int = 3
     checkpoint_every: int = 1          # CC: checkpoint each iteration
     cc_max_iterations: int = 50

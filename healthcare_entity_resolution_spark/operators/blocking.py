@@ -59,8 +59,17 @@ def minhash_band_keys(
     cfg: ResolutionConfig = DEFAULT_CONFIG,
     strategy: str = "minhash",
 ) -> DataFrame:
-    """LSH banding over word-token MinHash signatures -> (id, band_key) rows."""
+    """LSH banding over char-shingle MinHash signatures -> (id, band_key)
+    rows (north_star: "MinHash/LSH bands over content shingles").
+
+    Char shingles, not word tokens: on low-entropy corpora word-token
+    Jaccard between unrelated documents is high (measured ~0.6 on the
+    driver testdata), which floods blocking with false candidates; k=5 char
+    shingles push unrelated-pair Jaccard under ~0.3 while near-duplicates
+    stay high — the band collision probability (1-(1-J^4)^16) then separates
+    cleanly."""
     num_perm, bands = cfg.minhash_permutations, cfg.lsh_bands
+    shingle_k = cfg.minhash_shingle_k
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_keys(texts: pd.Series) -> pd.Series:
@@ -69,7 +78,9 @@ def minhash_band_keys(
             if t is None:
                 out.append([])
                 continue
-            sig = textfn.minhash_signature(textfn.token_hashes(t), num_perm=num_perm)
+            sig = textfn.minhash_signature(
+                textfn.shingle_hashes(t, k=shingle_k), num_perm=num_perm
+            )
             # fold to signed 63-bit for LongType
             out.append([k & 0x7FFFFFFFFFFFFFFF for k in textfn.lsh_band_keys(sig, bands=bands)])
         return pd.Series(out)

@@ -1,0 +1,241 @@
+"""Canonicalization: survivorship, ids, confidence (SURVEY.md K1–K5).
+
+Reference behavior (studied at /root/reference/src/physician_resolution/
+canonicalization/{ids.py:42-58, merge.py:15-205, confidence.py:10-120}),
+re-expressed as ONE pass of window-ranked picks + a survivorship
+``groupBy(component_id).agg`` — no per-cluster Python.
+
+Selection semantics preserved exactly:
+- K1 canonical id: ``PHY_{most-common valid NPI}``; id-less clusters get a
+  **deterministic** ``PHY_{sha256(min source_id)[:12]}`` instead of the
+  reference's ``uuid4`` (ids.py:58) — reproducibility per SURVEY §7.
+- K3 survivorship: npi = mode; name = argmax(priority, length); specialty =
+  mode-of-normalized then highest priority; facility = count then priority;
+  city/state = mode; all_facilities = sorted distinct list.
+- K4 entity confidence: singletons = source-reliability map; else
+  ``0.30·avg_w + 0.15·min_w + 0.15·density + 0.25·npi_consistency +
+  0.15·min(source_diversity/3, 1)`` (confidence.py:10-69).
+- K5 record confidence: ``0.6·avg + 0.4·max`` of the record's intra-cluster
+  edge weights; 0.4 if only transitively connected; 0.8 singleton
+  (confidence.py:72-109).
+
+All mode/argmax picks use ``row_number()`` windows with total deterministic
+orderings (count desc, priority desc, value asc) so results are stable
+across partitionings and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+
+
+def _priority_expr(col, cfg: ResolutionConfig):
+    expr = F.lit(0)
+    for src, p in cfg.source_priority.items():
+        expr = F.when(col == src, F.lit(p)).otherwise(expr)
+    return expr
+
+
+def _mode_pick(df: DataFrame, value_col: str, out_col: str) -> DataFrame:
+    """Most-common non-null value per component (Counter.most_common(1)
+    analog); ties break by value asc — deterministic."""
+    cnt = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy("component_id", value_col)
+        .agg(F.count("*").alias("_n"))
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.col("_n").desc(), F.col(value_col).asc()
+    )
+    return (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("component_id", F.col(value_col).alias(out_col))
+    )
+
+
+def canonical_entities(
+    records: DataFrame,
+    assignments: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """K1+K3: one canonical row per component over normalized physician-shaped
+    records ``(source_id, source, npi, name_raw, specialty, facility_name,
+    facility_city, facility_state)``."""
+    rec = records.join(
+        assignments.withColumnRenamed("id", "source_id"), "source_id"
+    ).withColumn("_prio", _priority_expr(F.col("source"), cfg))
+
+    valid_npi = F.when(
+        F.col("npi").rlike("^[0-9]{10}$"), F.col("npi")
+    ).otherwise(F.lit(None))
+    rec = rec.withColumn("_vnpi", valid_npi)
+
+    # K1: mode of valid NPIs (ids.py:42-58)
+    npi_pick = _mode_pick(rec.withColumn("npi", F.col("_vnpi")), "npi", "npi")
+
+    # name: argmax by (priority desc, length desc, name asc)  (merge.py:111-124)
+    wn = W.partitionBy("component_id").orderBy(
+        F.col("_prio").desc(), F.length("name_raw").desc(), F.col("name_raw").asc()
+    )
+    name_pick = (
+        rec.where(F.col("name_raw").isNotNull())
+        .withColumn("_rn", F.row_number().over(wn))
+        .where(F.col("_rn") == 1)
+        .select("component_id", F.col("name_raw").alias("name"))
+    )
+
+    # specialty: most-common normalized key, then highest-priority raw version
+    # (merge.py:127-144)
+    spec = rec.where(F.col("specialty").isNotNull()).withColumn(
+        "_k", F.upper(F.trim("specialty"))
+    )
+    key_cnt = spec.groupBy("component_id", "_k").agg(F.count("*").alias("_n"))
+    wk = W.partitionBy("component_id").orderBy(F.col("_n").desc(), F.col("_k").asc())
+    best_key = key_cnt.withColumn("_rn", F.row_number().over(wk)).where(
+        F.col("_rn") == 1
+    ).select("component_id", "_k")
+    wv = W.partitionBy("component_id").orderBy(F.col("_prio").desc(), F.col("specialty").asc())
+    spec_pick = (
+        spec.join(best_key, ["component_id", "_k"])
+        .withColumn("_rn", F.row_number().over(wv))
+        .where(F.col("_rn") == 1)
+        .select("component_id", "specialty")
+    )
+
+    # facility: count desc, then max-priority desc  (merge.py:147-170)
+    fac = rec.where(F.col("facility_name").isNotNull()).withColumn(
+        "_f", F.trim("facility_name")
+    )
+    fac_cnt = fac.groupBy("component_id", "_f").agg(
+        F.count("*").alias("_n"), F.max("_prio").alias("_p")
+    )
+    wf = W.partitionBy("component_id").orderBy(
+        F.col("_n").desc(), F.col("_p").desc(), F.col("_f").asc()
+    )
+    fac_pick = fac_cnt.withColumn("_rn", F.row_number().over(wf)).where(
+        F.col("_rn") == 1
+    ).select("component_id", F.col("_f").alias("primary_facility"))
+
+    city_pick = _mode_pick(rec.withColumn("facility_city", F.trim("facility_city")),
+                           "facility_city", "city")
+    state_pick = _mode_pick(rec.withColumn("facility_state", F.trim("facility_state")),
+                            "facility_state", "state")
+
+    base = rec.groupBy("component_id").agg(
+        F.count("*").alias("source_count"),
+        F.sort_array(F.collect_set(F.trim("facility_name"))).alias("all_facilities"),
+        F.sort_array(F.collect_set("source_id")).alias("source_records"),
+        F.min("source_id").alias("_min_sid"),
+    )
+
+    out = (
+        base.join(npi_pick, "component_id", "left")
+        .join(name_pick, "component_id", "left")
+        .join(spec_pick, "component_id", "left")
+        .join(fac_pick, "component_id", "left")
+        .join(city_pick, "component_id", "left")
+        .join(state_pick, "component_id", "left")
+    )
+    canonical_id = F.when(
+        F.col("npi").isNotNull(), F.concat(F.lit("PHY_"), F.col("npi"))
+    ).otherwise(
+        F.concat(F.lit("PHY_"), F.substring(F.sha2(F.col("_min_sid"), 256), 1, 12))
+    )
+    return out.select(
+        canonical_id.alias("canonical_id"),
+        "component_id", "npi", "name", "specialty", "primary_facility",
+        "city", "state", "all_facilities", "source_records", "source_count",
+    )
+
+
+def source_canonical_mapping(entities: DataFrame) -> DataFrame:
+    """K2 (ids.py:13-39): flatten ``source_records`` to (source_id, canonical_id)."""
+    return entities.select(
+        F.explode("source_records").alias("source_id"), "canonical_id"
+    )
+
+
+def _reliability_expr(col, cfg: ResolutionConfig):
+    # singleton confidence map, confidence.py:112-120
+    m = {"cms": 0.85, "license": 0.80, "hospital": 0.70, "publication": 0.50}
+    expr = F.lit(0.5)
+    for src, v in m.items():
+        expr = F.when(col == src, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def entity_confidence(
+    records: DataFrame,
+    edges: DataFrame,
+    assignments: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """K4 (confidence.py:10-69): per-component confidence 0..1."""
+    rec = records.join(assignments.withColumnRenamed("id", "source_id"), "source_id")
+    node_stats = rec.groupBy("component_id").agg(
+        F.count("*").alias("size"),
+        F.countDistinct("npi").alias("n_npis"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min(_reliability_expr(F.col("source"), cfg)).alias("_single_rel"),
+    )
+    e = edges.join(
+        assignments.select(F.col("id").alias("id_1"), "component_id"), "id_1"
+    )
+    edge_stats = e.groupBy("component_id").agg(
+        F.count("*").alias("n_edges"),
+        F.avg("weight").alias("avg_w"),
+        F.min("weight").alias("min_w"),
+    )
+    j = node_stats.join(edge_stats, "component_id", "left")
+    density = F.when(
+        F.col("size") > 1,
+        F.coalesce(F.col("n_edges"), F.lit(0)) / (F.col("size") * (F.col("size") - 1) / 2),
+    ).otherwise(F.lit(0.0))
+    npi_score = F.when(F.col("n_npis") <= 1, 1.0).otherwise(0.3)
+    diversity = F.least(F.col("n_sources") / 3.0, F.lit(1.0))
+    multi = (
+        F.col("avg_w") * 0.30 + F.col("min_w") * 0.15 + density * 0.15
+        + npi_score * 0.25 + diversity * 0.15
+    )
+    conf = (
+        F.when(F.col("size") == 1, F.col("_single_rel"))
+        .when(F.col("n_edges").isNull(), F.lit(0.3))  # no edges somehow
+        .otherwise(F.least(F.greatest(multi, F.lit(0.0)), F.lit(1.0)))
+    )
+    return j.select("component_id", F.round(conf, 6).alias("entity_confidence"))
+
+
+def record_confidence(
+    edges: DataFrame,
+    assignments: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """K5 (confidence.py:72-109): per-record membership confidence.
+
+    Edges exploded in both directions -> groupBy(node) avg/max; records with
+    no direct edge in a multi-node cluster get 0.4; singletons 0.8.
+    """
+    both = edges.select(F.col("id_1").alias("id"), "weight").union(
+        edges.select(F.col("id_2").alias("id"), "weight")
+    )
+    per_node = both.groupBy("id").agg(
+        F.avg("weight").alias("avg_w"), F.max("weight").alias("max_w")
+    )
+    sizes = assignments.groupBy("component_id").agg(F.count("*").alias("size"))
+    j = assignments.join(per_node, "id", "left").join(sizes, "component_id")
+    conf = (
+        F.when(F.col("size") == 1, F.lit(0.8))
+        .when(F.col("avg_w").isNull(), F.lit(0.4))
+        .otherwise(
+            F.least(
+                F.greatest(F.col("avg_w") * 0.6 + F.col("max_w") * 0.4, F.lit(0.0)),
+                F.lit(1.0),
+            )
+        )
+    )
+    return j.select("id", "component_id", F.round(conf, 6).alias("record_confidence"))

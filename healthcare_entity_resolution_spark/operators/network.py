@@ -1,0 +1,198 @@
+"""Referral-network analytics (SURVEY.md §2.10, N1–N6 + A10–A11).
+
+Reference behavior (studied at /root/reference/src/physician_resolution/
+network/{referrals.py:13-150, influence.py:14-220}): a networkx DiGraph of
+canonical-entity referrals, nx.pagerank influence, degree metrics, colleague
+detection, ego networks.  Here the graph IS an edges DataFrame
+``(src, dst, referral_count, last_referral_date)`` and every op is
+joins/groupBy; PageRank is an iterative DataFrame job with checkpointing
+(same driver-loop pattern as connected components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+from ..plans.lineage import NULL_LINEAGE, LineageLog
+
+
+def build_referral_graph(
+    referrals: DataFrame,
+    mapping: DataFrame,
+    src_col: str = "referring_npi",
+    dst_col: str = "receiving_npi",
+    date_col: str = "referral_date",
+) -> DataFrame:
+    """N1/A10 (referrals.py:13-85 + J3): map raw referral endpoints through
+    the source->canonical mapping (two broadcast joins, inner = drop
+    unresolved), drop self-loops, aggregate count + max(date) per edge."""
+    m_src = mapping.select(
+        F.col("source_key").alias(src_col), F.col("canonical_id").alias("src")
+    )
+    m_dst = mapping.select(
+        F.col("source_key").alias(dst_col), F.col("canonical_id").alias("dst")
+    )
+    return (
+        referrals.join(F.broadcast(m_src), src_col)
+        .join(F.broadcast(m_dst), dst_col)
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.count("*").alias("referral_count"),
+            F.max(date_col).alias("last_referral_date"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+    weight_col: str | None = "referral_count",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """N2 (influence.py:14-50): PageRank alpha=0.85 over the referral graph.
+
+    DataFrame formulation: normalize out-edge weights once, then iterate
+    ``rank = (1-alpha)/n + alpha * (sum of incoming rank*w + dangling/n)``
+    with checkpoints every few iterations to truncate lineage.  L1-tolerance
+    stop mirrors networkx's power iteration (tol * n).
+    """
+    alpha, tol = cfg.pagerank_alpha, cfg.pagerank_tol
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+
+    nodes = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pagerank", F.lit(0.0))
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    ).persist()
+
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for it in range(cfg.pagerank_max_iter):
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_w.select(F.col("src").alias("id")), "id", "left_anti")
+            .agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+        contrib = (
+            norm.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst").agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+        )
+        base = (1.0 - alpha) / n + alpha * dangling / n
+        new_ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (it + 1) % max(cfg.checkpoint_every, 1) == 0:
+            new_ranks = new_ranks.checkpoint(eager=True)
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol * n:
+            lineage.log("pagerank.converged", iterations=it + 1, delta=float(delta))
+            break
+    else:
+        lineage.log("pagerank.max_iterations_hit", iterations=cfg.pagerank_max_iter)
+
+    nodes.unpersist()
+    norm.unpersist()
+    return ranks.select("id", F.col("rank").alias("pagerank"))
+
+
+def referral_metrics(edges: DataFrame) -> DataFrame:
+    """N3/A11 (influence.py:62-87): per-node in/out degree and volume."""
+    outs = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree"), F.sum("referral_count").alias("out_volume")
+    )
+    ins = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_degree"), F.sum("referral_count").alias("in_volume")
+    )
+    return (
+        outs.join(ins, "id", "full")
+        .fillna(0, ["out_degree", "out_volume", "in_degree", "in_volume"])
+    )
+
+
+def colleague_pairs(
+    entities: DataFrame,
+    max_facility_size: int = 100,
+    id_col: str = "canonical_id",
+    facility_col: str = "primary_facility",
+) -> DataFrame:
+    """N4 (influence.py:90-135): same-facility pair enumeration; facilities
+    larger than the cap are skipped — logged, not silent (cf. reference's
+    silent `continue` at influence.py:113)."""
+    fac = entities.where(F.col(facility_col).isNotNull()).select(
+        F.col(facility_col).alias("facility"), F.col(id_col).alias("id")
+    )
+    sizes = fac.groupBy("facility").agg(F.count("*").alias("n"))
+    keep = sizes.where((F.col("n") >= 2) & (F.col("n") <= max_facility_size))
+    fac = fac.join(F.broadcast(keep.select("facility")), "facility", "left_semi")
+    a = fac.select("facility", F.col("id").alias("id_1"))
+    b = fac.select("facility", F.col("id").alias("id_2"))
+    return (
+        a.join(b, "facility")
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "facility",
+                F.lit("same_facility").alias("relation_type"),
+                F.lit(0.5).alias("strength"))
+    )
+
+
+def merge_colleague_edges(pairs: DataFrame) -> DataFrame:
+    """N5 (influence.py:138-163): max strength + union of relation types."""
+    return pairs.groupBy("id_1", "id_2").agg(
+        F.max("strength").alias("strength"),
+        F.sort_array(F.collect_set("relation_type")).alias("relation_types"),
+    )
+
+
+def ego_network(
+    edges: DataFrame,
+    colleague_edges: DataFrame | None,
+    node_id: str,
+) -> dict[str, DataFrame]:
+    """N6 (influence.py:166-220): 1-hop predecessors / successors /
+    colleagues of a node, as three small DataFrames."""
+    refers_to = edges.where(F.col("src") == node_id).select(
+        F.col("dst").alias("id"), "referral_count"
+    )
+    referred_by = edges.where(F.col("dst") == node_id).select(
+        F.col("src").alias("id"), "referral_count"
+    )
+    out = {"refers_to": refers_to, "referred_by": referred_by}
+    if colleague_edges is not None:
+        out["colleagues"] = (
+            colleague_edges.where(
+                (F.col("id_1") == node_id) | (F.col("id_2") == node_id)
+            ).select(
+                F.when(F.col("id_1") == node_id, F.col("id_2"))
+                .otherwise(F.col("id_1")).alias("id"),
+                "strength",
+            )
+        )
+    return out
+
+
+def top_influencers(ranks: DataFrame, metrics: DataFrame, n: int = 10) -> DataFrame:
+    """A17 flavor (influence.py:53-59): top-N by pagerank, deterministic."""
+    return (
+        ranks.join(metrics, "id", "left")
+        .orderBy(F.col("pagerank").desc(), F.col("id"))
+        .limit(n)
+    )

@@ -1,0 +1,214 @@
+"""Graph pruning (SURVEY.md G5–G9).
+
+Reference behavior (studied at /root/reference/src/physician_resolution/
+graph/pruning.py:11-210, single-node networkx, sequential edge removal):
+
+- G5 ``prune_low_confidence_edges``: drop edges below a weight threshold
+  (called with ``min_edge_weight * 0.75`` by the full pipeline).
+- G6 ``prune_npi_conflicts``: while a component holds >1 distinct
+  authoritative id (NPI), remove the weakest edge that either crosses two id
+  groups or bridges an id-bearing node to a non-id node, then re-cluster.
+- G7 ``prune_oversized_clusters``: while a component exceeds ``max_size``,
+  remove its weakest edge (safety cap 1000 iterations).
+- G8 ``prune_weak_bridges``: remove bridge edges (whose removal disconnects
+  the component) weighing less than ``min_edge_weight``.
+- G9 ``full_pruning_pipeline``: G5 -> G6 -> G7 -> G8 in order.
+
+Spark-first re-expression: edges and node attributes are DataFrames; each
+loop iteration is joins + a per-component window ``row_number() = 1`` pick
+of the weakest qualifying edge, an anti-join removal, and a re-run of
+connected components.  The reference removes ONE edge globally then restarts;
+here one edge is removed **per affected component per iteration** — parallel
+safe, provably reaches the same fixpoint condition (no conflicted /
+oversized components), exact removed-edge set may differ (accepted per
+SURVEY.md §7 "Hard parts").  Components shrink monotonically, loops
+checkpoint through :func:`connected_components`, and every removal count is
+written to lineage (never silent).
+
+G8's bridge finding is the one genuinely graph-algorithmic step: it runs
+networkx per component inside ``applyInPandas`` — components are bounded by
+G7's ``max_cluster_size``, so groups are tiny and embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+from ..plans.lineage import NULL_LINEAGE, LineageLog
+from .components import connected_components
+
+_EDGE_COLS = ["id_1", "id_2", "weight"]
+
+
+def prune_low_confidence_edges(edges: DataFrame, threshold: float) -> DataFrame:
+    """G5: plain filter — may split clusters, which is often correct."""
+    return edges.where(F.col("weight") >= threshold)
+
+
+def _weakest_edge_per_component(edges_in_comp: DataFrame) -> DataFrame:
+    """One weakest edge per component, deterministic tiebreak on ids."""
+    w = W.partitionBy("component_id").orderBy(
+        F.col("weight").asc(), F.col("id_1"), F.col("id_2")
+    )
+    return (
+        edges_in_comp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id_1", "id_2")
+    )
+
+
+def prune_id_conflicts(
+    edges: DataFrame,
+    node_ids: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """G6: resolve authoritative-id conflicts (NPI analog: content digest).
+
+    ``node_ids`` is ``(id, auth_id)`` with NULL meaning "no authoritative
+    id".  Qualifying removable edges mirror pruning.py:67-96: endpoints with
+    two different ids, or exactly one endpoint carrying an id.
+    """
+    cur = edges.select(*_EDGE_COLS)
+    removed_total = 0
+    for it in range(max_iterations):
+        assign = connected_components(cur.select("id_1", "id_2"), cfg=cfg)
+        node = assign.join(node_ids, "id", "left")
+        conflicted = (
+            node.where(F.col("auth_id").isNotNull())
+            .groupBy("component_id")
+            .agg(F.countDistinct("auth_id").alias("n_ids"))
+            .where(F.col("n_ids") > 1)
+            .select("component_id")
+        )
+        if conflicted.limit(1).count() == 0:
+            lineage.log("prune.id_conflicts", iterations=it, edges_removed=removed_total)
+            return cur
+
+        a1 = node.select(F.col("id").alias("id_1"), F.col("auth_id").alias("aid_1"),
+                         "component_id")
+        a2 = node.select(F.col("id").alias("id_2"), F.col("auth_id").alias("aid_2"))
+        qual = (
+            cur.join(a1, "id_1")
+            .join(a2, "id_2")
+            .join(F.broadcast(conflicted), "component_id", "left_semi")
+            .where(
+                (F.col("aid_1").isNotNull() & F.col("aid_2").isNotNull()
+                 & (F.col("aid_1") != F.col("aid_2")))
+                | (F.col("aid_1").isNotNull() != F.col("aid_2").isNotNull())
+            )
+        )
+        to_remove = _weakest_edge_per_component(qual)
+        n_removed = to_remove.count()
+        if n_removed == 0:
+            # conflicted components held together only by id-less edges;
+            # nothing qualifying to cut (reference would loop forever here —
+            # its `weakest_edge` can be None too, pruning.py:51-56)
+            lineage.log("prune.id_conflicts", iterations=it + 1,
+                        edges_removed=removed_total, unresolvable=True)
+            return cur
+        removed_total += n_removed
+        cur = cur.join(to_remove, ["id_1", "id_2"], "left_anti").checkpoint(eager=True)
+    lineage.log("prune.id_conflicts", iterations=max_iterations,
+                edges_removed=removed_total, max_iterations_hit=True)
+    return cur
+
+
+def prune_oversized_clusters(
+    edges: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """G7: split components larger than ``cfg.max_cluster_size`` by removing
+    the weakest edge per oversized component per iteration."""
+    cur = edges.select(*_EDGE_COLS)
+    removed_total = 0
+    for it in range(max_iterations):
+        assign = connected_components(cur.select("id_1", "id_2"), cfg=cfg)
+        oversized = (
+            assign.groupBy("component_id").agg(F.count("*").alias("n"))
+            .where(F.col("n") > cfg.max_cluster_size)
+            .select("component_id")
+        )
+        if oversized.limit(1).count() == 0:
+            lineage.log("prune.oversized", iterations=it, edges_removed=removed_total)
+            return cur
+        in_comp = cur.join(
+            assign.withColumnRenamed("id", "id_1"), "id_1"
+        ).join(F.broadcast(oversized), "component_id", "left_semi")
+        to_remove = _weakest_edge_per_component(in_comp)
+        removed_total += to_remove.count()
+        cur = cur.join(to_remove, ["id_1", "id_2"], "left_anti").checkpoint(eager=True)
+    lineage.log("prune.oversized", iterations=max_iterations,
+                edges_removed=removed_total, max_iterations_hit=True)
+    return cur
+
+
+_BRIDGE_SCHEMA = "id_1 string, id_2 string"
+
+
+def prune_weak_bridges(
+    edges: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+    threshold: float | None = None,
+) -> DataFrame:
+    """G8: drop bridge edges with weight < threshold (pruning.py:139-169).
+
+    Bridges are found per component with networkx inside ``applyInPandas`` —
+    components are bounded (≤ max_cluster_size after G7) so each group is a
+    tiny in-memory graph; the stage parallelizes across components.
+    """
+    t = cfg.min_edge_weight if threshold is None else threshold
+    assign = connected_components(edges.select("id_1", "id_2"), cfg=cfg)
+    e = edges.join(assign.withColumnRenamed("id", "id_1"), "id_1").select(
+        "component_id", "id_1", "id_2", "weight"
+    )
+
+    def weak_bridges(pdf: pd.DataFrame) -> pd.DataFrame:
+        import networkx as nx
+
+        if len(pdf) < 2:  # ≤2-node components have no removable bridges
+            return pd.DataFrame(columns=["id_1", "id_2"])
+        g = nx.Graph()
+        for r in pdf.itertuples():
+            g.add_edge(r.id_1, r.id_2, weight=r.weight)
+        out = [
+            {"id_1": u, "id_2": v}
+            for u, v in nx.bridges(g)
+            if g[u][v].get("weight", 0.5) < t
+        ]
+        return pd.DataFrame(out, columns=["id_1", "id_2"])
+
+    # bridge tuples come back in graph orientation; normalize to id_1<id_2
+    found = e.groupBy("component_id").applyInPandas(weak_bridges, schema=_BRIDGE_SCHEMA)
+    found = found.select(
+        F.least("id_1", "id_2").alias("id_1"), F.greatest("id_1", "id_2").alias("id_2")
+    )
+    out = edges.join(found, ["id_1", "id_2"], "left_anti")
+    return out
+
+
+def full_pruning(
+    edges: DataFrame,
+    node_ids: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+) -> DataFrame:
+    """G9 (pruning.py:172-210): G5 at 0.75·min_edge_weight -> G6 -> G7 -> G8
+    at min_edge_weight.  Returns the pruned edge set."""
+    n0 = edges.count()
+    e = prune_low_confidence_edges(edges, cfg.min_edge_weight * 0.75)
+    if cfg.prune_id_conflicts:
+        e = prune_id_conflicts(e, node_ids, cfg, lineage)
+    e = prune_oversized_clusters(e, cfg, lineage)
+    e = prune_weak_bridges(e, cfg, lineage)
+    n1 = e.count()
+    lineage.log("prune.done", edges_before=n0, edges_after=n1, removed=n0 - n1)
+    return e

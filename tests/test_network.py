@@ -1,0 +1,111 @@
+"""N1–N6 referral-network tests; PageRank property-checked against networkx
+(SURVEY.md §5 / §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_entity_resolution_spark.config import ResolutionConfig
+from healthcare_entity_resolution_spark.operators import network as N
+
+
+@pytest.fixture(scope="module")
+def referral_edges(spark):
+    rows = [
+        ("PHY_A", "PHY_B", 5, "2024-01-03"),
+        ("PHY_A", "PHY_C", 2, "2024-02-01"),
+        ("PHY_B", "PHY_C", 7, "2024-03-10"),
+        ("PHY_C", "PHY_A", 1, "2024-01-20"),
+        ("PHY_D", "PHY_C", 3, "2024-04-05"),
+    ]
+    return spark.createDataFrame(
+        rows, "src string, dst string, referral_count long, last_referral_date string"
+    )
+
+
+def test_build_referral_graph(spark):
+    raw = spark.createDataFrame(
+        [("n1", "n2", "2024-01-01"), ("n1", "n2", "2024-02-01"),
+         ("n1", "n9", "2024-01-01"),          # n9 unresolved -> dropped
+         ("n2", "n2b", "2024-03-01")],        # same canonical -> self-loop dropped
+        "referring_npi string, receiving_npi string, referral_date string",
+    )
+    mapping = spark.createDataFrame(
+        [("n1", "PHY_X"), ("n2", "PHY_Y"), ("n2b", "PHY_Y")],
+        "source_key string, canonical_id string",
+    )
+    out = N.build_referral_graph(raw, mapping).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.src, r.dst, r.referral_count, r.last_referral_date) == (
+        "PHY_X", "PHY_Y", 2, "2024-02-01"
+    )
+
+
+def _reference_pagerank(edges, alpha=0.85, tol=1e-6, max_iter=100):
+    """Plain-Python power iteration (networkx.pagerank semantics; nx itself
+    needs scipy, absent in this container)."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    out_w = {}
+    for s, d, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(max_iter):
+        dangling = sum(rank[v] for v in nodes if v not in out_w)
+        new = {v: (1 - alpha) / n + alpha * dangling / n for v in nodes}
+        for s, d, w in edges:
+            new[d] += alpha * rank[s] * w / out_w[s]
+        delta = sum(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if delta < tol * n:
+            break
+    return rank
+
+
+def test_pagerank_matches_reference(spark, referral_edges):
+    ranks = {
+        r["id"]: r["pagerank"]
+        for r in N.pagerank(referral_edges, ResolutionConfig()).collect()
+    }
+    edges = [(r.src, r.dst, float(r.referral_count)) for r in referral_edges.collect()]
+    expected = _reference_pagerank(edges)
+    assert set(ranks) == set(expected)
+    for k in expected:
+        assert ranks[k] == pytest.approx(expected[k], abs=1e-4)
+
+
+def test_referral_metrics(spark, referral_edges):
+    m = {r["id"]: r for r in N.referral_metrics(referral_edges).collect()}
+    assert m["PHY_C"]["in_degree"] == 3 and m["PHY_C"]["in_volume"] == 12
+    assert m["PHY_C"]["out_degree"] == 1 and m["PHY_C"]["out_volume"] == 1
+    assert m["PHY_D"]["in_degree"] == 0
+
+
+def test_colleagues_and_ego(spark, referral_edges):
+    ents = spark.createDataFrame(
+        [("PHY_A", "MERCY"), ("PHY_B", "MERCY"), ("PHY_C", "ST MARY"),
+         ("PHY_D", "MERCY")],
+        "canonical_id string, primary_facility string",
+    )
+    pairs = N.colleague_pairs(ents)
+    got = sorted((r.id_1, r.id_2) for r in pairs.collect())
+    assert got == [("PHY_A", "PHY_B"), ("PHY_A", "PHY_D"), ("PHY_B", "PHY_D")]
+
+    merged = N.merge_colleague_edges(pairs)
+    assert merged.count() == 3
+    assert merged.first()["relation_types"] == ["same_facility"]
+
+    ego = N.ego_network(referral_edges, merged, "PHY_A")
+    assert {r["id"] for r in ego["refers_to"].collect()} == {"PHY_B", "PHY_C"}
+    assert {r["id"] for r in ego["referred_by"].collect()} == {"PHY_C"}
+    assert {r["id"] for r in ego["colleagues"].collect()} == {"PHY_B", "PHY_D"}
+
+
+def test_top_influencers(spark, referral_edges):
+    ranks = N.pagerank(referral_edges, ResolutionConfig())
+    top = N.top_influencers(ranks, N.referral_metrics(referral_edges), n=2).collect()
+    assert len(top) == 2
+    assert top[0]["pagerank"] >= top[1]["pagerank"]
+    assert top[0]["id"] == "PHY_C"  # sink of most referral weight
