@@ -144,9 +144,16 @@ def candidate_pairs(
     with_block_stats: bool = False,
 ) -> DataFrame:
     """B5: within-block self-join across all strategies, canonical order,
-    global dedup.  Input: union of (_id, _bk, _strategy) frames."""
-    keyed = _salted(keyed_union.select("_id", "_bk"), cfg, lineage)
+    global dedup.  Input: union of (_id, _bk, _strategy) frames.
 
+    The keyed frame is persisted before the self-join: its lineage includes
+    the MinHash pandas UDF, which would otherwise be recomputed for the
+    salting statistics AND for each side of the join (4x the Arrow+Python
+    cost at scale)."""
+    base = keyed_union.select("_id", "_bk").persist()
+    keyed = _salted(base, cfg, lineage).persist()
+    keyed.count()  # materialize once; frees the UDF lineage for re-use
+    base.unpersist()
     left = keyed.select(F.col("_bk"), F.col("_salt"), F.col("_id").alias("id_1"))
     right = keyed.select(F.col("_bk"), F.col("_salt"), F.col("_id").alias("id_2"))
     pairs = (

@@ -40,14 +40,29 @@ def resolve_files(
     n_files = files.count()
     lineage.log("normalize", rows=n_files, sec=time.perf_counter() - t0)
 
+    # --- exact-dedup pre-pass -------------------------------------------
+    # Identical content (sha equal) is an authoritative same-entity decision
+    # (score 0.95 trump — the NPI analog), so byte-identical files collapse
+    # to ONE representative (min file_id) before any fuzzy work.  At 100 TB
+    # exact duplicates are the biggest hot blocks (a popular license file
+    # appears millions of times); resolving representatives only turns those
+    # C(n,2) explosions into a hash-groupBy, and the sha join at the end
+    # fans the decision back out.  groupBy(content_sha) — not a window — so
+    # the map-side partial aggregation does the heavy lifting.
+    reps = files.groupBy("content_sha").agg(F.min("file_id").alias("file_id"))
+    rep_files = files.join(reps, ["content_sha", "file_id"]).persist()
+    n_reps = rep_files.count()
+    lineage.log("exact_dedup", rows=n_files, representatives=n_reps,
+                exact_duplicates=n_files - n_reps)
+
     t1 = time.perf_counter()
-    keys = B.code_file_block_keys(files, cfg)
+    keys = B.code_file_block_keys(rep_files, cfg)
     pairs = B.candidate_pairs(keys, cfg, lineage).persist()
     n_pairs = pairs.count()
     lineage.log("blocking", pairs=n_pairs, sec=time.perf_counter() - t1)
 
     t2 = time.perf_counter()
-    scored = S.score_code_pairs(files, pairs, cfg)
+    scored = S.score_code_pairs(rep_files, pairs, cfg)
     # authoritative trump column: content sha equality (NPI analog; equal ->
     # same entity at 0.95; inequality is NOT a conflict, unlike NPI)
     scored = scored.withColumn(
@@ -68,12 +83,22 @@ def resolve_files(
 
     t3 = time.perf_counter()
     matches = C.confirmed_matches(classified, cfg)
-    assignments = G.connected_components(
+    rep_assign = G.connected_components(
         matches,
-        vertices=files.select(F.col("file_id").alias("id")),
+        vertices=rep_files.select(F.col("file_id").alias("id")),
         cfg=cfg,
         lineage=lineage,
-    ).persist()
+    )
+    # fan the representative decision back out: every file joins its
+    # content-sha representative's component (broadcast-sized at test scale;
+    # a plain shuffled equi-join on content_sha at cluster scale)
+    assignments = (
+        files.select("file_id", "content_sha")
+        .join(reps.withColumnRenamed("file_id", "rep_id"), "content_sha")
+        .join(rep_assign.withColumnRenamed("id", "rep_id"), "rep_id")
+        .select(F.col("file_id").alias("id"), "component_id")
+        .persist()
+    )
     n_nodes = assignments.count()
     lineage.log("clustering", nodes=n_nodes, sec=time.perf_counter() - t3)
 
