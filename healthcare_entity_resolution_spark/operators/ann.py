@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline.  Dot
+  products via `F.zip_with`+`F.aggregate` (JVM, codegen) for oracle parity;
+  `cosine_topk_arrow` is the same math through a vectorized pandas UDF
+  (one numpy matmul per Arrow batch) for throughput.
+- sign_lsh_topk: the scale path — random-hyperplane LSH where the
+  hyperplanes are the first `n_planes` coordinate axes (sign bits).  Probes
+  the query's bucket plus all 1-bit-flip neighbor buckets, so moderate
+  boundary effects don't cost recall; exact re-rank inside the probed set.
+- ivf_topk: inverted-file variant — coarse centroids from a deterministic
+  sample, `nprobe` nearest lists probed, exact re-rank inside.
+
+At 100 TB the bucketed variants turn an all-rows scan into a partition-
+pruned probe: bucket id is a computed column you can partition/Z-ORDER the
+table by, so the scan only reads the probed buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(c, F.lit(0.0).cast("double"), lambda a, x: a + x * x))
+
+
+def _as_double(c):
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector (JVM-side)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+    return (
+        e.select(id_col, F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same result as brute_force_topk, computed as one numpy matmul per
+    Arrow batch — the throughput version of the exact scan."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+        return pd.Series(sims)
+
+    return (
+        embeddings.select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
+        .withColumn("cosine", F.round("cosine", 6))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sign_bucket(vec_col, n_planes: int = 4):
+    """Axis-aligned sign-LSH bucket id: bit i = sign(vec[i])."""
+    bits = [
+        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def sign_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the query's sign bucket and every 1-bit
+    neighbor (n_planes+1 of 2^n_planes buckets), exact cosine inside."""
+    e = embeddings.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", sign_bucket(F.col("v"), n_planes))
+
+    qb = 0
+    for i in range(n_planes):
+        if query_vec[i] >= 0:
+            qb |= 1 << i
+    probes = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
+    probed = e.where(F.col("bucket").isin(probes))
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+    return (
+        probed.select(id_col, F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat: deterministic-sample centroids, assign each vector to its
+    nearest list (one broadcast of n_lists centroids), probe the nprobe
+    lists nearest the query, exact re-rank inside them."""
+    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    # centroids: first n_lists rows by a deterministic hash order (cheap,
+    # reproducible; k-means would converge better but needs iterations)
+    cent_rows = (
+        e.withColumn("_r", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .orderBy("_r")
+        .limit(n_lists)
+        .collect()
+    )
+    cents = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    probe_lists = np.argsort(-(cents @ qn))[:nprobe].tolist()
+
+    assigned = e.withColumn("list_id", assign(F.col("v")))
+    probed = assigned.where(F.col("list_id").isin([int(x) for x in probe_lists]))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+    return (
+        probed.select(id_col, F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def all_pairs_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: block by sign bucket, exact cosine
+    within buckets (boundary pairs in adjacent buckets are missed — the
+    standard LSH recall trade, tune n_planes down for recall up)."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v"), n_planes))
+    a = e.select("bucket", F.col("id").alias("id_1"), F.col("v").alias("v1"))
+    b = e.select("bucket", F.col("id").alias("id_2"), F.col("v").alias("v2"))
+    pairs = a.join(b, "bucket").where(F.col("id_1") < F.col("id_2"))
+    cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    return pairs.select(
+        "id_1", "id_2", F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

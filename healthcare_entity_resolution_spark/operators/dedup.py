@@ -1,0 +1,224 @@
+"""Corpus deduplication operators (training-data pipeline surface).
+
+Beyond the reference's record-linkage flow, a 100 TB corpus pipeline needs
+document-level dedup.  Five strategies, all DataFrame-native:
+
+- exact:      sha/md5 hash-groupBy (one shuffle, map-side partial agg)
+- minhash:    char-shingle MinHash + LSH bands (reuses the blocking stage's
+              pandas UDF) -> band self-join -> Jaccard verify -> CC groups
+- simhash:    64-bit SimHash, 4x16-bit chunk index (pigeonhole: hamming<=3
+              duplicates share at least one exact chunk) -> hamming verify
+- ngram:      word n-gram Jaccard within cheap blocks (SQL-expressible)
+- embedding:  cosine near-dup over a vector column (see ann.py for top-k)
+
+Each returns DataFrames, never driver-side sets; group ids are min member
+ids (deterministic).  The expensive kernels are Arrow-batched pandas UDFs;
+candidate generation is always blocked — no all-pairs anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+from ..functions import text as textfn
+from . import blocking as B
+from .components import connected_components
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Byte-identical duplicate groups: (group_id, id, n_members).
+
+    ``sha2`` groupBy — the partial aggregation collapses each partition's
+    duplicates before the shuffle, so shuffle volume is O(distinct)."""
+    h = df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("_h"))
+    g = h.groupBy("_h").agg(
+        F.min("id").alias("group_id"), F.count("*").alias("n_members")
+    )
+    return (
+        h.join(g, "_h")
+        .where(F.col("n_members") >= 2)
+        .select("group_id", "id", "n_members")
+    )
+
+
+def distinct_by_content(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative row (min id) per distinct content — the
+    survivorship side of exact dedup (same shape as the pipeline's
+    exact-dedup pre-pass)."""
+    h = df.withColumn("_h", F.sha2(F.col(text_col), 256))
+    reps = h.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return h.join(reps, ["_h", id_col], "left_semi").drop("_h")
+
+
+# ---------------------------------------------------------------------------
+# minhash / LSH
+# ---------------------------------------------------------------------------
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs from LSH bands, verified with true shingle Jaccard.
+
+    Returns (id_1, id_2, jaccard) pairs with jaccard >= threshold.  The
+    verify step recomputes shingle sets per pair inside one mapInPandas
+    stage with an in-batch memo (same pattern as the scoring hot loop)."""
+    ids = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    keyed = B.minhash_band_keys(ids, "_id", "_text", cfg)
+    pairs = B.candidate_pairs(keyed, cfg)
+
+    shingle_k = cfg.minhash_shingle_k
+    texts = ids.select(F.col("_id"), F.col("_text"))
+    dec = (
+        pairs.join(texts.withColumnRenamed("_id", "id_1"), "id_1")
+        .withColumnRenamed("_text", "_t1")
+        .join(texts.withColumnRenamed("_id", "id_2"), "id_2")
+        .withColumnRenamed("_text", "_t2")
+    )
+
+    def verify(batches):
+        cache: dict = {}
+
+        def sh(s):
+            v = cache.get(s)
+            if v is None:
+                v = textfn.shingle_hashes(s, k=shingle_k)
+                cache[s] = v
+            return v
+
+        for pdf in batches:
+            jac = [
+                textfn.jaccard(sh(t1), sh(t2))
+                for t1, t2 in zip(pdf["_t1"], pdf["_t2"])
+            ]
+            out = pd.DataFrame(
+                {"id_1": pdf["id_1"], "id_2": pdf["id_2"], "jaccard": jac}
+            )
+            yield out[out["jaccard"] >= jaccard_threshold]
+
+    schema = "id_1 string, id_2 string, jaccard double"
+    return dec.select(
+        F.col("id_1").cast("string"), F.col("id_2").cast("string"), "_t1", "_t2"
+    ).mapInPandas(verify, schema=schema)
+
+
+def near_duplicate_groups(
+    pairs: DataFrame, cfg: ResolutionConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Transitive duplicate groups from verified near-dup pairs (min-id CC)."""
+    return connected_components(pairs.select("id_1", "id_2"), cfg=cfg).select(
+        F.col("component_id").alias("group_id"), "id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("simhash", T.LongType()),
+])
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """64-bit SimHash per document (token-frequency weighted)."""
+    shingle_k = cfg.minhash_shingle_k
+
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            v = textfn.simhash64(textfn.shingle_hashes(t, k=shingle_k))
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)  # to signed
+        return pd.Series(out, dtype="Int64")
+
+    return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs whose 64-bit SimHashes differ in <= max_hamming bits.
+
+    Pigeonhole index: split the hash into 4 x 16-bit chunks; any pair within
+    hamming distance 3 agrees exactly on >= 1 chunk -> block on (chunk_idx,
+    chunk_value), verify hamming with JVM-side bit_count (no Python)."""
+    chunks = F.array(*[
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+        )
+        for i in range(4)
+    ])
+    keyed = sigs.select("id", "simhash", F.explode(chunks).alias("c")).select(
+        "id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a = keyed.select("ci", "cv", F.col("id").alias("id_1"), F.col("simhash").alias("h1"))
+    b = keyed.select("ci", "cv", F.col("id").alias("id_2"), F.col("simhash").alias("h2"))
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "h1", "h2")
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.select(
+        "id_1", "id_2", ham.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (fully SQL-expressible; mirrors the oracle-checked query)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word n-gram Jaccard within blocks — pure built-in functions end to
+    end (split/array ops), whole-stage-codegen, no Python."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if n == 1:
+        grams = F.array_distinct(words)
+    else:
+        idx = F.sequence(F.lit(0), F.size(words) - n)
+        grams = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        )
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        grams.alias("grams"),
+    )
+    a = base.select(*block_cols, F.col("id").alias("id_1"), F.col("grams").alias("g1"))
+    b = base.select(*block_cols, F.col("id").alias("id_2"), F.col("grams").alias("g2"))
+    pairs = a.join(b, block_cols).where(F.col("id_1") < F.col("id_2"))
+    n1, n2 = F.size("g1").cast("double"), F.size("g2").cast("double")
+    pairs = pairs.where(F.least(n1, n2) >= threshold * F.greatest(n1, n2))
+    inter = F.size(F.array_intersect("g1", "g2")).cast("double")
+    union = F.size(F.array_union("g1", "g2")).cast("double")
+    return pairs.select(
+        "id_1", "id_2", (inter / union).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)

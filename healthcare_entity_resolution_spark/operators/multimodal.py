@@ -1,0 +1,135 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata (training-data pipeline surface).
+
+The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
+``mapInPandas`` signatures, partitioning — while the actual codec step is
+STUBBED: this container has no image/audio libraries, so ``decode_image``
+raises ``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic byte-derived fake decode (stable across runs/partitionings).
+Swap the marked block for PIL/torchaudio/ffmpeg calls in production; the
+DataFrame contract does not change.
+
+Design notes for 100 TB:
+- binary payloads ride in their own column so column pruning keeps them out
+  of every query that doesn't touch them (Parquet/Iceberg column split);
+- `spark.sql.execution.arrow.maxRecordsPerBatch` bounds bytes-per-batch in
+  the UDF stages; repartition by size-bucket before heavy decode so one
+  batch of 4K videos doesn't OOM an executor;
+- features come back as fixed-length `array<float>` ready for ann.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_id string, kind string, n_bytes long, sha256 string, "
+    "declared_width int, declared_height int, declared_ms int"
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, id_col: str, bin_col: str, kind_col: str
+) -> DataFrame:
+    """Typed metadata columns computed JVM-side from the binary payload —
+    no decode needed: byte length + content digest (lineage/dedup key)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(kind_col).alias("kind"),
+        F.length(F.col(bin_col)).cast("long").alias("n_bytes"),
+        F.sha2(F.col(bin_col), 256).alias("sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode / feature-extract (mapInPandas; codec stubbed)
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = "media_id string, width int, height int, n_channels int, ok boolean"
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"media_id string, features array<double>"
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real image decode: dimensions derived
+    from the content digest.  STUB — replace with PIL.Image.open."""
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192, 3
+
+
+def decode_image(
+    df: DataFrame, id_col: str, bin_col: str, fake: bool = False
+) -> DataFrame:
+    """Decode stage plumbing: Arrow-batched binary in, dimensions out.
+
+    ``fake=False`` raises NotImplementedError inside the UDF (no codec libs
+    in this container) — the schema/partitioning contract is still
+    exercised by tests via ``fake=True``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/libvips — not in this container; "
+                    "pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                w, h, c = _fake_decode(bytes(payload))
+                rows.append(
+                    {"media_id": mid, "width": w, "height": h,
+                     "n_channels": c, "ok": True}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height",
+                                              "n_channels", "ok"])
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def extract_byte_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL (not stubbed) feature extractor: 16-bin byte histogram per
+    payload, L1-normalized — numpy over Arrow batches, deterministic, and a
+    faithful stand-in for an embedding model's batch shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[bin_col]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * FEATURE_DIM)
+                    continue
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
+                feats.append((hist / hist.sum()).tolist())
+            yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str, duration_ms_col: str, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media, frame_ts) — the
+    explode is JVM-side; the actual frame grab would consume this plan in a
+    decode stage like ``decode_image``."""
+    ts = F.sequence(
+        F.lit(0), F.greatest(F.col(duration_ms_col) - 1, F.lit(0)), F.lit(every_ms)
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.explode(ts).alias("frame_ts_ms"),
+    )
+
+
+def size_bucketed(df: DataFrame, bin_col: str, bucket_kb: int = 256) -> DataFrame:
+    """Repartition-by-size-bucket helper so heavy decode batches stay
+    balanced (one giant video per batch, many thumbnails per batch)."""
+    return df.withColumn(
+        "_size_bucket", (F.length(F.col(bin_col)) / (bucket_kb * 1024)).cast("int")
+    ).repartition(F.col("_size_bucket"))

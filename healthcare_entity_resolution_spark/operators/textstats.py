@@ -1,0 +1,132 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything here is pure built-in `pyspark.sql.functions` — whole-stage
+codegen, no Python in the hot path — because these run over EVERY document
+of a 100 TB corpus.  Each has an exact DuckDB-SQL equivalent so the driver's
+oracle can check it (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny high-frequency stopword lists per language — a deterministic n-gram /
+# stopword heuristic (fastText-style langid without the model dependency).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "des"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def language_scores(text_col: Column) -> dict[str, Column]:
+    """Per-language stopword hit-ratio columns."""
+    toks = _tokens(text_col)
+    n = F.size(toks).cast("double")
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        hits = F.size(
+            F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words]))
+        ).cast("double")
+        out[lang] = hits / F.lit(float(len(words)))
+    return out
+
+
+def identify_language(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """argmax language by stopword coverage; 'und' (undetermined) when no
+    list scores above zero.  Ties break alphabetically — deterministic."""
+    scores = language_scores(F.col(text_col))
+    pairs = F.array(*[
+        F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        for lang, s in sorted(scores.items())
+    ])
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    lang = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        lang.alias("lang_pred"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + combined score (C4/Gopher-style gates):
+    length, mean word length, alpha ratio, punct ratio, stopword ratio,
+    repetition (distinct/total tokens)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    stop_en = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]]),
+        )
+    ).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    mean_wlen = (F.length(F.regexp_replace(t, r"\s+", "")).cast("double")) / n_tok
+
+    len_ok = (n_tok >= 5) & (n_tok <= 100000)
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    alpha_ratio = alpha / n_chars
+    score = (
+        F.when(len_ok, 0.25).otherwise(0.0)
+        + F.when(wlen_ok, 0.25).otherwise(0.0)
+        + F.least(alpha_ratio, F.lit(0.9)) / 0.9 * 0.25
+        + F.least(distinct_ratio * 2, F.lit(1.0)) * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(stop_en / 10.0, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols — the
+# GPT-2-style pretoken regex family, counting only (no merges needed for
+# corpus accounting).
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish pretoken count + chars — the unit-economics
+    columns every corpus accounting job needs."""
+    t = F.col(text_col)
+    ws = F.size(_tokens(t))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_PRETOKEN_RE), 0))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the lexicographic MIN of
+    md5(char k-gram) over the document — one stable 32-hex digest that two
+    near-identical documents almost always share (the min-shingle is
+    invariant to edits that don't touch it).  Portable to ANSI SQL."""
+    t = F.trim(F.lower(F.col(text_col)))
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.md5(t.substr(i, F.lit(k))))
+    return df.select(
+        F.col(id_col),
+        F.array_min(grams).alias("fingerprint"),
+    )

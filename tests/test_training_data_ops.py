@@ -1,0 +1,158 @@
+"""Training-data pipeline operators: dedup suite, text stats, ANN,
+multimodal plumbing (SURVEY.md training-data extension)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_entity_resolution_spark.config import ResolutionConfig
+from healthcare_entity_resolution_spark.operators import ann
+from healthcare_entity_resolution_spark.operators import dedup as D
+from healthcare_entity_resolution_spark.operators import multimodal as M
+from healthcare_entity_resolution_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while the sun is setting slowly"
+    )
+    rows = [
+        ("d1", base),
+        ("d2", base),                                   # exact dup of d1
+        ("d3", base.replace("quick", "fast")),          # near dup
+        ("d4", "el perro grande corre por la calle y el gato duerme en la casa de la abuela"),
+        ("d5", "une phrase en francais avec le chat et le chien dans la maison des amis"),
+        ("d6", "zzz qqq xxx yyy www vvv uuu ttt sss rrr"),   # junk
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_duplicate_groups(spark, docs):
+    g = D.exact_duplicate_groups(docs, "doc_id", "text").collect()
+    assert {(r.group_id, r.id) for r in g} == {("d1", "d1"), ("d1", "d2")}
+    kept = D.distinct_by_content(docs, "doc_id", "text")
+    assert kept.count() == 5 and kept.where(F.col("doc_id") == "d2").count() == 0
+
+
+def test_minhash_near_duplicates(spark, docs):
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", ResolutionConfig(), jaccard_threshold=0.5
+    )
+    got = {(r.id_1, r.id_2): r.jaccard for r in pairs.collect()}
+    assert ("d1", "d2") in got and got[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in got and 0.5 <= got[("d1", "d3")] < 1.0
+    assert all("d6" not in p for p in got)
+
+    groups = D.near_duplicate_groups(pairs)
+    comp = {r.id: r.group_id for r in groups.collect()}
+    assert comp["d1"] == comp["d2"] == comp["d3"]
+
+
+def test_simhash_near_duplicates(spark, docs):
+    # d3 (word swap) lands at hamming ~7 — outside the 4x16-chunk pigeonhole
+    # guarantee (<=3), so use a 1-char edit for the recall assertion
+    extra = docs.union(
+        docs.sparkSession.createDataFrame(
+            [("d7", docs.where(F.col("doc_id") == "d1").first()["text"] + " now")],
+            "doc_id string, text string",
+        )
+    )
+    sigs = D.simhash_signatures(extra, "doc_id", "text")
+    vals = {r.id: r.simhash for r in sigs.collect()}
+    assert vals["d1"] == vals["d2"]
+    pairs = {(r.id_1, r.id_2): r.hamming
+             for r in D.simhash_near_duplicates(sigs, max_hamming=3).collect()}
+    assert pairs[("d1", "d2")] == 0
+    assert ("d1", "d7") in pairs and pairs[("d1", "d7")] <= 3
+    assert all("d6" not in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    with_block = docs.withColumn("blk", F.lit(1))
+    uni = D.ngram_jaccard_pairs(with_block, "doc_id", "text", ["blk"], n=1,
+                                threshold=0.5)
+    got = {(r.id_1, r.id_2) for r in uni.collect()}
+    assert ("d1", "d2") in got and ("d1", "d3") in got
+    bi = D.ngram_jaccard_pairs(with_block, "doc_id", "text", ["blk"], n=2,
+                               threshold=0.5)
+    got2 = {(r.id_1, r.id_2): r.jaccard for r in bi.collect()}
+    assert got2[("d1", "d2")] == 1.0
+
+
+def test_language_id(spark, docs):
+    out = {r.doc_id: r.lang_pred
+           for r in TS.identify_language(docs, "doc_id", "text").collect()}
+    assert out["d1"] == "en" and out["d4"] == "es" and out["d5"] == "fr"
+    assert out["d6"] == "und"
+
+
+def test_quality_and_tokens(spark, docs):
+    q = {r.doc_id: r for r in TS.quality_features(docs, "doc_id", "text").collect()}
+    assert q["d1"]["quality_score"] > q["d6"]["quality_score"]
+    assert q["d1"]["n_tokens"] == 24
+    t = {r.doc_id: r for r in TS.token_counts(docs, "doc_id", "text").collect()}
+    assert t["d1"]["n_ws_tokens"] == 24
+    assert t["d1"]["n_bpe_tokens"] >= 24
+
+    fp = {r.doc_id: r.fingerprint for r in TS.fingerprint(docs, "doc_id", "text").collect()}
+    assert fp["d1"] == fp["d2"]
+    assert len(fp["d1"]) == 32
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/embeddings.parquet")
+
+
+def test_ann_exact_vs_arrow(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    q = [float(x) for x in q]
+    a = ann.brute_force_topk(embeddings.where(F.col("vec_id") != 0), q, k=10)
+    b = ann.cosine_topk_arrow(embeddings.where(F.col("vec_id") != 0), q, k=10)
+    ra, rb = a.collect(), b.collect()
+    assert [r.vec_id for r in ra] == [r.vec_id for r in rb]
+    for x, y in zip(ra, rb):
+        assert x.cosine == pytest.approx(y.cosine, abs=1e-6)
+
+
+def test_ann_lsh_and_ivf_recall(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    q = [float(x) for x in q]
+    rest = embeddings.where(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in ann.brute_force_topk(rest, q, k=10).collect()]
+    lsh = [r.vec_id for r in ann.sign_lsh_topk(rest, q, k=10, n_planes=4).collect()]
+    ivf = [r.vec_id for r in ann.ivf_topk(rest, q, k=10, n_lists=8, nprobe=4).collect()]
+    assert len(set(exact) & set(lsh)) >= 5     # recall@10 >= 0.5 for approx
+    assert len(set(exact) & set(ivf)) >= 5
+
+
+def test_multimodal_plumbing(spark):
+    rows = [("m1", b"\x00\x01\x02imagebytes", "image"),
+            ("m2", b"", "image"),
+            ("m3", b"audio-payload-xyz", "audio")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary, kind string")
+
+    meta = {r.media_id: r for r in
+            M.attach_media_metadata(df, "media_id", "payload", "kind").collect()}
+    assert meta["m1"]["n_bytes"] == 13 and len(meta["m1"]["sha256"]) == 64
+    assert meta["m2"]["n_bytes"] == 0
+
+    dec = {r.media_id: r for r in
+           M.decode_image(df, "media_id", "payload", fake=True).collect()}
+    assert dec["m1"]["ok"] and 64 <= dec["m1"]["width"] < 256
+
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        M.decode_image(df, "media_id", "payload", fake=False).collect()
+
+    feats = {r.media_id: r.features for r in
+             M.extract_byte_features(df, "media_id", "payload").collect()}
+    assert len(feats["m1"]) == 16
+    assert sum(feats["m1"]) == pytest.approx(1.0)
+    assert feats["m2"] == [0.0] * 16
+
+    vids = spark.createDataFrame([("v1", 3500)], "media_id string, dur_ms int")
+    plan = M.frame_sample_plan(vids, "media_id", "dur_ms", every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in plan] == [0, 1000, 2000, 3000]
