@@ -332,6 +332,301 @@ def q_text_stats(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# derived frames shared by the operator-parity queries (identical derivations
+# exist in the oracle SQL) — customer rows reshaped into the engine's
+# records/matches/assignments contract
+# ---------------------------------------------------------------------------
+
+_SRC_MAP = {"BUILDING": "cms", "AUTOMOBILE": "license",
+            "MACHINERY": "hospital", "FURNITURE": "publication"}
+
+
+def _source_expr():
+    e = F.lit("other")
+    for seg, src in _SRC_MAP.items():
+        e = F.when(F.col("c_mktsegment") == seg, F.lit(src)).otherwise(e)
+    return e
+
+
+def _cust_records(spark, sf):
+    c = _t(spark, sf, "customer")
+    npi = F.when(
+        (F.col("c_nationkey") < 20) & (F.col("c_custkey") % 3 == 0),
+        (F.lit(1000000000) + F.col("c_nationkey")).cast("string"),
+    )
+    return c.select(
+        F.col("c_custkey").cast("string").alias("source_id"),
+        _source_expr().alias("source"),
+        npi.alias("npi"),
+        F.col("c_name").alias("name_raw"),
+        F.col("c_mktsegment").alias("specialty"),
+        F.concat(F.lit("FAC_"), (F.col("c_custkey") % 5).cast("string")).alias("facility_name"),
+        F.concat(F.lit("CITY_"), (F.col("c_custkey") % 7).cast("string")).alias("facility_city"),
+        F.concat(F.lit("ST_"), (F.col("c_custkey") % 11).cast("string")).alias("facility_state"),
+    )
+
+
+def _cust_matches(spark, sf):
+    """Edges between consecutive custkeys in the same nation; weight from
+    account balances, clamped to [0, 1]."""
+    c = _t(spark, sf, "customer")
+    a = c.select(F.col("c_custkey").alias("k1"), F.col("c_nationkey").alias("n1"),
+                 F.col("c_acctbal").alias("b1"))
+    b = c.select(F.col("c_custkey").alias("k2"), F.col("c_nationkey").alias("n2"),
+                 F.col("c_acctbal").alias("b2"))
+    j = a.join(b, (F.col("k2") == F.col("k1") + 1) & (F.col("n1") == F.col("n2")))
+    # floor-quantized (NOT round()ed): round's tie-breaking differs between
+    # engines; floor of a bit-identical double is engine-independent
+    score = F.floor(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+                (F.col("b1") + F.col("b2") + 10000) / 20000)) * 1e4
+    ) / 1e4
+    return j.select(
+        F.col("k1").cast("string").alias("id_1"),
+        F.col("k2").cast("string").alias("id_2"),
+        score.alias("overall_score"),
+    )
+
+
+_CUST_MATCH_SQL = (
+    "SELECT CAST(a.c_custkey AS VARCHAR) AS id_1, CAST(b.c_custkey AS VARCHAR) AS id_2, "
+    " floor(least(1.0, greatest(0.0, (a.c_acctbal + b.c_acctbal + 10000) / 20000)) * 1e4) "
+    " / 1e4 AS overall_score "
+    "FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 "
+    " AND a.c_nationkey = b.c_nationkey"
+)
+
+_CUST_REC_SQL = (
+    "SELECT CAST(c_custkey AS VARCHAR) AS source_id, "
+    " CASE c_mktsegment WHEN 'BUILDING' THEN 'cms' WHEN 'AUTOMOBILE' THEN 'license' "
+    "  WHEN 'MACHINERY' THEN 'hospital' WHEN 'FURNITURE' THEN 'publication' "
+    "  ELSE 'other' END AS source, "
+    " CASE WHEN c_nationkey < 20 AND c_custkey % 3 = 0 "
+    "  THEN CAST(1000000000 + c_nationkey AS VARCHAR) END AS npi, "
+    " c_name AS name_raw, c_mktsegment AS specialty, "
+    " 'FAC_' || CAST(c_custkey % 5 AS VARCHAR) AS facility_name, "
+    " 'CITY_' || CAST(c_custkey % 7 AS VARCHAR) AS facility_city, "
+    " 'ST_' || CAST(c_custkey % 11 AS VARCHAR) AS facility_state, "
+    " CAST(c_nationkey AS VARCHAR) AS component_id "
+    "FROM customer"
+)
+
+
+def _cust_assignments(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.col("c_nationkey").cast("string").alias("component_id"),
+    )
+
+
+# --- P3: path/name tokenizer ------------------------------------------------
+
+def q_p3_tokenize(spark, sf):
+    p = _t(spark, sf, "part")
+    toks = F.sort_array(F.array_distinct(F.split(F.lower(F.col("p_name")), r"\s+")))
+    return p.select("p_partkey", toks.alias("tokens"), F.size(toks).alias("n_tokens"))
+
+
+# --- P5: geocode with prefix fallback ---------------------------------------
+
+def q_p5_geocode(spark, sf):
+    n = _t(spark, sf, "nation")
+    dim = n.select(
+        F.col("n_nationkey").cast("string").alias("code"),
+        (F.col("n_nationkey") * 3.0 - 35.0).alias("lat"),
+        (F.col("n_nationkey") * 7.0 - 80.0).alias("lon"),
+    )
+    # coarse prefix dim: first row per 1-char prefix (zip3 fallback analog)
+    pref = dim.withColumn("p", F.substring("code", 1, 1))
+    w = W.partitionBy("p").orderBy(F.col("code"))
+    coarse = (
+        pref.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("p", F.col("lat").alias("plat"), F.col("lon").alias("plon"))
+    )
+    c = _t(spark, sf, "customer")
+    zip_col = F.when(F.col("c_custkey") % 7 != 0, F.col("c_nationkey").cast("string"))
+    cc = c.select("c_custkey", zip_col.alias("zip"))
+    j = (
+        cc.join(F.broadcast(dim), cc["zip"] == dim["code"], "left")
+        .join(F.broadcast(coarse), F.substring(cc["zip"], 1, 1) == coarse["p"], "left")
+    )
+    return j.select(
+        "c_custkey",
+        F.round(F.coalesce("lat", "plat"), 6).alias("latitude"),
+        F.round(F.coalesce("lon", "plon"), 6).alias("longitude"),
+    )
+
+
+# --- B3 (soundex, rows-only) / B4 -------------------------------------------
+
+def q_b3_soundex(spark, sf):
+    p = _t(spark, sf, "part")
+    key = F.concat_ws("|", F.soundex(F.upper(F.element_at(F.split("p_name", " "), 1))),
+                      F.col("p_brand"))
+    return (
+        p.groupBy(key.alias("block_key")).agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+    )
+
+
+def q_b4_first_initial(spark, sf):
+    p = _t(spark, sf, "part")
+    last = F.element_at(F.split("p_name", " "), -1)
+    first_initial = F.substring(F.element_at(F.split("p_name", " "), 1), 1, 1)
+    key = F.concat_ws("|", last, first_initial)
+    return (
+        p.groupBy(key.alias("block_key")).agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+    )
+
+
+# --- C1/C2: classification ladders ------------------------------------------
+
+def _li_scored(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    s = F.round(F.least(F.lit(1.0), F.col("l_discount") * 12.0), 6)
+    auth = (
+        F.when(F.col("l_partkey") % 5 == 0, 1.0)
+        .when(F.col("l_partkey") % 5 == 1, 0.0)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return li.select(
+        F.col("l_orderkey").alias("id_1"),
+        F.col("l_linenumber").alias("id_2"),
+        s.alias("overall_score"),
+        auth.alias("npi_match"),
+        F.round(F.least(F.lit(1.0), F.col("l_tax") * 12.0), 6).alias("location_score"),
+        F.round(F.least(F.lit(1.0), F.col("l_quantity") / 50.0), 6).alias("name_similarity"),
+        F.when(F.col("l_partkey") % 4 != 0,
+               F.round(F.col("l_quantity") / 50.0, 6)).alias("specialty_match"),
+    )
+
+
+_LI_SCORED_SQL = (
+    "SELECT l_orderkey AS id_1, l_linenumber AS id_2, "
+    " round(least(1.0, l_discount * 12.0), 6) AS overall_score, "
+    " CASE WHEN l_partkey % 5 = 0 THEN 1.0 WHEN l_partkey % 5 = 1 THEN 0.0 END AS npi_match, "
+    " round(least(1.0, l_tax * 12.0), 6) AS location_score, "
+    " round(least(1.0, l_quantity / 50.0), 6) AS name_similarity, "
+    " CASE WHEN l_partkey % 4 != 0 THEN round(l_quantity / 50.0, 6) END AS specialty_match "
+    "FROM lineitem"
+)
+
+
+def q_c1_classify(spark, sf):
+    from healthcare_entity_resolution_spark.operators import classify as C
+
+    out = C.classify(_li_scored(spark, sf))
+    return out.select(
+        "id_1", "id_2", "overall_score", "decision",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+def q_c2_match_type(spark, sf):
+    from healthcare_entity_resolution_spark.operators import classify as C
+
+    out = C.determine_match_type(_li_scored(spark, sf))
+    return out.select("id_1", "id_2", "match_type")
+
+
+# --- G1–G3: edge construction -----------------------------------------------
+
+def q_g3_edge_weights(spark, sf):
+    from healthcare_entity_resolution_spark.operators import graph as GR
+
+    e = GR.build_edges(_cust_records(spark, sf), _cust_matches(spark, sf))
+    # integer micro-units instead of round(x, 6): round()'s tie-breaking on
+    # exact .5 boundaries differs between engines; floor(x*1e6 + 0.5) on the
+    # identical double is deterministic on both sides
+    return e.select("id_1", "id_2",
+                    F.floor(F.col("weight") * 1e6).alias("weight_micro"),
+                    "match_type", "sources")
+
+
+# --- G10: cluster labels ----------------------------------------------------
+
+def q_g10_cluster_labels(spark, sf):
+    from healthcare_entity_resolution_spark.operators.components import (
+        assign_cluster_labels,
+    )
+
+    return assign_cluster_labels(_cust_assignments(spark, sf))
+
+
+# --- G4: connected components (recursive-CTE oracle) ------------------------
+
+def q_cc_components(spark, sf):
+    from healthcare_entity_resolution_spark.operators.components import (
+        connected_components,
+    )
+
+    e = _t(spark, sf, "events").where(F.col("event_id") % 97 == 0).select(
+        F.col("user_id").alias("id_1"),
+        (F.lit(200) + F.col("event_id") % 300).alias("id_2"),
+    )
+    return connected_components(e)
+
+
+# --- K1/K3: survivorship ----------------------------------------------------
+
+def q_k3_survivorship(spark, sf):
+    from healthcare_entity_resolution_spark.operators.canonicalize import (
+        canonical_entities,
+    )
+
+    ents = canonical_entities(_cust_records(spark, sf), _cust_assignments(spark, sf))
+    return ents.select(
+        "canonical_id", "component_id", "npi", "name", "specialty",
+        "primary_facility", "city", "state", "all_facilities", "source_count",
+    )
+
+
+# --- K4/K5: confidence ------------------------------------------------------
+
+def q_k4_entity_confidence(spark, sf):
+    from healthcare_entity_resolution_spark.operators.canonicalize import (
+        entity_confidence,
+    )
+
+    e = _cust_matches(spark, sf).withColumnRenamed("overall_score", "weight")
+    return entity_confidence(_cust_records(spark, sf), e, _cust_assignments(spark, sf))
+
+
+def q_k5_record_confidence(spark, sf):
+    from healthcare_entity_resolution_spark.operators.canonicalize import (
+        record_confidence,
+    )
+
+    e = _cust_matches(spark, sf).withColumnRenamed("overall_score", "weight")
+    return record_confidence(e, _cust_assignments(spark, sf))
+
+
+# --- A6/A7 ------------------------------------------------------------------
+
+def q_a6_mode_priority(spark, sf):
+    o = _t(spark, sf, "orders")
+    cnt = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.max("o_orderkey").alias("p")
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("n").desc(), F.col("p").desc(), F.col("o_orderpriority")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("picked"))
+    )
+
+
+def q_a7_collect_distinct(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_project_filter": q_s1_scan,
@@ -360,6 +655,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "emb_cosine_topk": q_emb_cosine_topk,
         "text_token_stats": q_text_stats,
+        "p3_tokenize": q_p3_tokenize,
+        "p5_geocode_prefix_fallback": q_p5_geocode,
+        "b3_soundex_blocking": q_b3_soundex,
+        "b4_block_first_initial": q_b4_first_initial,
+        "c1_classify_ladder": q_c1_classify,
+        "c2_match_type_ladder": q_c2_match_type,
+        "g3_edge_weights": q_g3_edge_weights,
+        "g10_cluster_labels": q_g10_cluster_labels,
+        "g4_connected_components": q_cc_components,
+        "k3_survivorship": q_k3_survivorship,
+        "k4_entity_confidence": q_k4_entity_confidence,
+        "k5_record_confidence": q_k5_record_confidence,
+        "a6_mode_then_priority": q_a6_mode_priority,
+        "a7_collect_distinct_sorted": q_a7_collect_distinct,
     }
 
 
@@ -503,5 +812,195 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / "
             " len(string_split_regex(trim(text), '\\s+')), 6) AS avg_token_len "
             "FROM documents"
+        ),
+        "p3_tokenize": (
+            "SELECT p_partkey, "
+            " list_sort(list_distinct(string_split_regex(lower(p_name), '\\s+'))) AS tokens, "
+            " len(list_distinct(string_split_regex(lower(p_name), '\\s+'))) AS n_tokens "
+            "FROM part"
+        ),
+        "p5_geocode_prefix_fallback": (
+            "WITH dim AS (SELECT CAST(n_nationkey AS VARCHAR) AS code, "
+            "  n_nationkey * 3.0 - 35.0 AS lat, n_nationkey * 7.0 - 80.0 AS lon FROM nation), "
+            "coarse AS (SELECT p, lat AS plat, lon AS plon FROM ("
+            "  SELECT substr(code, 1, 1) AS p, lat, lon, "
+            "   row_number() OVER (PARTITION BY substr(code, 1, 1) ORDER BY code) AS rn "
+            "  FROM dim) WHERE rn = 1), "
+            "cc AS (SELECT c_custkey, CASE WHEN c_custkey % 7 != 0 "
+            "  THEN CAST(c_nationkey AS VARCHAR) END AS zip FROM customer) "
+            "SELECT cc.c_custkey, round(coalesce(d.lat, co.plat), 6) AS latitude, "
+            " round(coalesce(d.lon, co.plon), 6) AS longitude "
+            "FROM cc LEFT JOIN dim d ON cc.zip = d.code "
+            "LEFT JOIN coarse co ON substr(cc.zip, 1, 1) = co.p"
+        ),
+        # b3_soundex_blocking: no oracle — DuckDB has no soundex (rows-only check)
+        "b4_block_first_initial": (
+            "SELECT block_key, count(*) AS n FROM ("
+            " SELECT string_split(p_name, ' ')[-1] || '|' || "
+            "  substr(string_split(p_name, ' ')[1], 1, 1) AS block_key FROM part) "
+            "GROUP BY block_key HAVING count(*) >= 2"
+        ),
+        "c1_classify_ladder": (
+            "WITH s AS (" + _LI_SCORED_SQL + ") "
+            "SELECT id_1, id_2, overall_score, "
+            " CASE WHEN npi_match = 0.0 THEN 'non_match' "
+            "  WHEN npi_match = 1.0 THEN 'match' "
+            "  WHEN overall_score >= 0.85 THEN 'match' "
+            "  WHEN overall_score <= 0.30 THEN 'non_match' "
+            "  ELSE 'uncertain' END AS decision, "
+            " round(CASE WHEN npi_match = 0.0 THEN 1.0 "
+            "  WHEN npi_match = 1.0 THEN 0.95 "
+            "  WHEN overall_score >= 0.85 THEN least(0.95, (overall_score - 0.85) / 0.15 + 0.7) "
+            "  WHEN overall_score <= 0.30 THEN least(0.95, (0.30 - overall_score) / 0.30 + 0.7) "
+            "  ELSE 0.3 + abs(overall_score - 0.575) * 0.4 END, 6) AS confidence "
+            "FROM s"
+        ),
+        "c2_match_type_ladder": (
+            "WITH s AS (" + _LI_SCORED_SQL + ") "
+            "SELECT id_1, id_2, "
+            " CASE WHEN npi_match = 1.0 THEN 'npi_exact' "
+            "  WHEN name_similarity >= 0.9 AND location_score >= 0.7 THEN 'name_location_strong' "
+            "  WHEN name_similarity >= 0.9 AND specialty_match IS NOT NULL "
+            "   AND specialty_match >= 0.9 THEN 'name_specialty' "
+            "  WHEN name_similarity >= 0.9 THEN 'name_strong' "
+            "  WHEN name_similarity >= 0.7 AND location_score >= 0.7 THEN 'name_location' "
+            "  WHEN name_similarity >= 0.7 THEN 'name_moderate' "
+            "  ELSE 'weak' END AS match_type "
+            "FROM s"
+        ),
+        "g3_edge_weights": (
+            "WITH rec AS (" + _CUST_REC_SQL + "), m AS (" + _CUST_MATCH_SQL + "), "
+            "rel AS (SELECT source_id, source, npi, "
+            "  CASE source WHEN 'cms' THEN 1.0 WHEN 'license' THEN 0.9 "
+            "   WHEN 'hospital' THEN 0.8 WHEN 'publication' THEN 0.6 ELSE 0.5 END AS rel "
+            " FROM rec) "
+            "SELECT m.id_1, m.id_2, "
+            " CAST(floor(least(0.99, m.overall_score * ((a.rel + b.rel) / 2) * "
+            "  CASE WHEN a.source != b.source THEN 1.1 ELSE 1.0 END) * 1e6) "
+            "  AS BIGINT) AS weight_micro, "
+            " CASE WHEN a.npi IS NOT NULL AND b.npi IS NOT NULL AND a.npi = b.npi "
+            "   THEN 'npi_exact' "
+            "  WHEN m.overall_score >= 0.85 THEN 'name_strong' "
+            "  WHEN m.overall_score >= 0.6 THEN 'name_moderate' "
+            "  ELSE 'weak' END AS match_type, "
+            " a.source || '|' || b.source AS sources "
+            "FROM m JOIN rel a ON m.id_1 = a.source_id JOIN rel b ON m.id_2 = b.source_id"
+        ),
+        "g10_cluster_labels": (
+            "WITH assign AS (SELECT CAST(c_custkey AS VARCHAR) AS id, "
+            "  CAST(c_nationkey AS VARCHAR) AS component_id FROM customer), "
+            "sizes AS (SELECT component_id, count(*) AS size FROM assign GROUP BY 1), "
+            "labeled AS (SELECT component_id, size, "
+            "  printf('CLUSTER_%05d', CAST(row_number() OVER "
+            "   (ORDER BY size DESC, component_id) AS INT) - 1) AS cluster_label "
+            " FROM sizes) "
+            "SELECT a.id, a.component_id, l.cluster_label, l.size "
+            "FROM assign a JOIN labeled l ON a.component_id = l.component_id"
+        ),
+        "g4_connected_components": (
+            "WITH RECURSIVE e AS (SELECT user_id AS a, 200 + event_id % 300 AS b "
+            "  FROM events WHERE event_id % 97 = 0), "
+            "u AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "n AS (SELECT DISTINCT a AS id FROM u), "
+            "r(id, m) AS (SELECT id, id FROM n "
+            "  UNION SELECT u.b, r.m FROM r JOIN u ON u.a = r.id) "
+            "SELECT id, min(m) AS component_id FROM r GROUP BY id"
+        ),
+        "k3_survivorship": (
+            "WITH rec AS (SELECT r.*, CASE source WHEN 'cms' THEN 4 WHEN 'license' THEN 3 "
+            "   WHEN 'hospital' THEN 2 WHEN 'publication' THEN 1 ELSE 0 END AS prio, "
+            "  CASE WHEN regexp_full_match(npi, '[0-9]{10}') THEN npi END AS vnpi "
+            " FROM (" + _CUST_REC_SQL + ") r), "
+            "npi_pick AS (SELECT component_id, vnpi AS npi FROM ("
+            "  SELECT component_id, vnpi, row_number() OVER (PARTITION BY component_id "
+            "   ORDER BY count(*) DESC, vnpi) AS rn FROM rec WHERE vnpi IS NOT NULL "
+            "  GROUP BY component_id, vnpi) WHERE rn = 1), "
+            "name_pick AS (SELECT component_id, name_raw AS name FROM ("
+            "  SELECT component_id, name_raw, row_number() OVER (PARTITION BY component_id "
+            "   ORDER BY prio DESC, length(name_raw) DESC, name_raw) AS rn "
+            "  FROM rec WHERE name_raw IS NOT NULL) WHERE rn = 1), "
+            "spec_key AS (SELECT component_id, k FROM ("
+            "  SELECT component_id, upper(trim(specialty)) AS k, "
+            "   row_number() OVER (PARTITION BY component_id ORDER BY count(*) DESC, "
+            "    upper(trim(specialty))) AS rn "
+            "  FROM rec WHERE specialty IS NOT NULL GROUP BY 1, 2) WHERE rn = 1), "
+            "spec_pick AS (SELECT component_id, specialty FROM ("
+            "  SELECT r.component_id, r.specialty, row_number() OVER "
+            "   (PARTITION BY r.component_id ORDER BY r.prio DESC, r.specialty) AS rn "
+            "  FROM rec r JOIN spec_key sk ON r.component_id = sk.component_id "
+            "   AND upper(trim(r.specialty)) = sk.k) WHERE rn = 1), "
+            "fac_pick AS (SELECT component_id, f AS primary_facility FROM ("
+            "  SELECT component_id, trim(facility_name) AS f, "
+            "   row_number() OVER (PARTITION BY component_id ORDER BY count(*) DESC, "
+            "    max(prio) DESC, trim(facility_name)) AS rn "
+            "  FROM rec WHERE facility_name IS NOT NULL GROUP BY 1, 2) WHERE rn = 1), "
+            "city_pick AS (SELECT component_id, v AS city FROM ("
+            "  SELECT component_id, trim(facility_city) AS v, row_number() OVER "
+            "   (PARTITION BY component_id ORDER BY count(*) DESC, trim(facility_city)) AS rn "
+            "  FROM rec WHERE facility_city IS NOT NULL GROUP BY 1, 2) WHERE rn = 1), "
+            "state_pick AS (SELECT component_id, v AS state FROM ("
+            "  SELECT component_id, trim(facility_state) AS v, row_number() OVER "
+            "   (PARTITION BY component_id ORDER BY count(*) DESC, trim(facility_state)) AS rn "
+            "  FROM rec WHERE facility_state IS NOT NULL GROUP BY 1, 2) WHERE rn = 1), "
+            "base AS (SELECT component_id, count(*) AS source_count, "
+            "  list_sort(list(DISTINCT trim(facility_name))) AS all_facilities, "
+            "  min(source_id) AS min_sid FROM rec GROUP BY component_id) "
+            "SELECT CASE WHEN np.npi IS NOT NULL THEN 'PHY_' || np.npi "
+            "  ELSE 'PHY_' || substr(sha256(b.min_sid), 1, 12) END AS canonical_id, "
+            " b.component_id, np.npi, nm.name, sp.specialty, fp.primary_facility, "
+            " cp.city, stp.state, b.all_facilities, b.source_count "
+            "FROM base b LEFT JOIN npi_pick np USING (component_id) "
+            "LEFT JOIN name_pick nm USING (component_id) "
+            "LEFT JOIN spec_pick sp USING (component_id) "
+            "LEFT JOIN fac_pick fp USING (component_id) "
+            "LEFT JOIN city_pick cp USING (component_id) "
+            "LEFT JOIN state_pick stp USING (component_id)"
+        ),
+        "k4_entity_confidence": (
+            "WITH rec AS (" + _CUST_REC_SQL + "), m AS (" + _CUST_MATCH_SQL + "), "
+            "node_stats AS (SELECT component_id, count(*) AS size, "
+            "  count(DISTINCT npi) AS n_npis, count(DISTINCT source) AS n_sources, "
+            "  min(CASE source WHEN 'cms' THEN 0.85 WHEN 'license' THEN 0.80 "
+            "   WHEN 'hospital' THEN 0.70 WHEN 'publication' THEN 0.50 ELSE 0.5 END) "
+            "   AS single_rel "
+            " FROM rec GROUP BY component_id), "
+            "e AS (SELECT m.*, r.component_id FROM m JOIN rec r ON m.id_1 = r.source_id), "
+            "edge_stats AS (SELECT component_id, count(*) AS n_edges, "
+            "  avg(overall_score) AS avg_w, min(overall_score) AS min_w "
+            " FROM e GROUP BY component_id) "
+            "SELECT ns.component_id, round(CASE WHEN ns.size = 1 THEN ns.single_rel "
+            "  WHEN es.n_edges IS NULL THEN 0.3 "
+            "  ELSE least(greatest(es.avg_w * 0.30 + es.min_w * 0.15 + "
+            "   (coalesce(es.n_edges, 0) / (ns.size * (ns.size - 1) / 2.0)) * 0.15 + "
+            "   CASE WHEN ns.n_npis <= 1 THEN 1.0 ELSE 0.3 END * 0.25 + "
+            "   least(ns.n_sources / 3.0, 1.0) * 0.15, 0.0), 1.0) END, 6) "
+            "  AS entity_confidence "
+            "FROM node_stats ns LEFT JOIN edge_stats es USING (component_id)"
+        ),
+        "k5_record_confidence": (
+            "WITH m AS (" + _CUST_MATCH_SQL + "), "
+            "assign AS (SELECT CAST(c_custkey AS VARCHAR) AS id, "
+            "  CAST(c_nationkey AS VARCHAR) AS component_id FROM customer), "
+            "bidir AS (SELECT id_1 AS id, overall_score AS w FROM m "
+            " UNION ALL SELECT id_2, overall_score FROM m), "
+            "per_node AS (SELECT id, avg(w) AS avg_w, max(w) AS max_w FROM bidir GROUP BY id), "
+            "sizes AS (SELECT component_id, count(*) AS size FROM assign GROUP BY 1) "
+            "SELECT a.id, a.component_id, round(CASE WHEN s.size = 1 THEN 0.8 "
+            "  WHEN p.avg_w IS NULL THEN 0.4 "
+            "  ELSE least(greatest(p.avg_w * 0.6 + p.max_w * 0.4, 0.0), 1.0) END, 6) "
+            "  AS record_confidence "
+            "FROM assign a LEFT JOIN per_node p ON a.id = p.id "
+            "JOIN sizes s ON a.component_id = s.component_id"
+        ),
+        "a6_mode_then_priority": (
+            "SELECT o_custkey, picked FROM ("
+            " SELECT o_custkey, o_orderpriority AS picked, row_number() OVER "
+            "  (PARTITION BY o_custkey ORDER BY count(*) DESC, max(o_orderkey) DESC, "
+            "   o_orderpriority) AS rn "
+            " FROM orders GROUP BY o_custkey, o_orderpriority) WHERE rn = 1"
+        ),
+        "a7_collect_distinct_sorted": (
+            "SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments "
+            "FROM customer GROUP BY c_nationkey"
         ),
     }

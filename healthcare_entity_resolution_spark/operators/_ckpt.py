@@ -1,0 +1,24 @@
+"""Checkpoint helper shared by the iterative operators (CC, pruning,
+PageRank).
+
+Reliable (HDFS/disk) checkpoints truncate lineage AND survive executor loss
+— that is the north_rule resume story on a cluster.  When the hosting
+SparkSession never called ``setCheckpointDir`` (e.g. the driver harness's
+own session), fall back to ``localCheckpoint`` — same plan truncation,
+executor-local storage — rather than failing the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def checkpoint(df: DataFrame) -> DataFrame:
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = not sc._jsc.sc().getCheckpointDir().isEmpty()
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._ckpt import checkpoint as _checkpoint
 from ..config import DEFAULT_CONFIG, ResolutionConfig
 from ..plans.lineage import NULL_LINEAGE, LineageLog
 
@@ -77,7 +78,7 @@ def connected_components(
     ).distinct()
 
     prev: DataFrame | None = None
-    cur = e.checkpoint(eager=True)
+    cur = _checkpoint(e)
     for it in range(cfg.cc_max_iterations):
         nxt = _small_star(_large_star(cur)).checkpoint(eager=True)
         n_new = nxt.count()

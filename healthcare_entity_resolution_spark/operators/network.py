@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._ckpt import checkpoint as _checkpoint
 from ..config import DEFAULT_CONFIG, ResolutionConfig
 from ..plans.lineage import NULL_LINEAGE, LineageLog
 
@@ -97,7 +98,7 @@ def pagerank(
             )
         )
         if (it + 1) % max(cfg.checkpoint_every, 1) == 0:
-            new_ranks = new_ranks.checkpoint(eager=True)
+            new_ranks = _checkpoint(new_ranks)
         delta = (
             new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "id")
             .agg(F.sum(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]

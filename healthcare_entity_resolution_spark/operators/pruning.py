@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ._ckpt import checkpoint as _checkpoint
 from ..config import DEFAULT_CONFIG, ResolutionConfig
 from ..plans.lineage import NULL_LINEAGE, LineageLog
 from .components import connected_components
@@ -113,7 +114,7 @@ def prune_id_conflicts(
                         edges_removed=removed_total, unresolvable=True)
             return cur
         removed_total += n_removed
-        cur = cur.join(to_remove, ["id_1", "id_2"], "left_anti").checkpoint(eager=True)
+        cur = _checkpoint(cur.join(to_remove, ["id_1", "id_2"], "left_anti"))
     lineage.log("prune.id_conflicts", iterations=max_iterations,
                 edges_removed=removed_total, max_iterations_hit=True)
     return cur
@@ -144,7 +145,7 @@ def prune_oversized_clusters(
         ).join(F.broadcast(oversized), "component_id", "left_semi")
         to_remove = _weakest_edge_per_component(in_comp)
         removed_total += to_remove.count()
-        cur = cur.join(to_remove, ["id_1", "id_2"], "left_anti").checkpoint(eager=True)
+        cur = _checkpoint(cur.join(to_remove, ["id_1", "id_2"], "left_anti"))
     lineage.log("prune.oversized", iterations=max_iterations,
                 edges_removed=removed_total, max_iterations_hit=True)
     return cur
