@@ -627,6 +627,194 @@ def q_a7_collect_distinct(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# batch 2: text analysis, portable dedup, ANN, multimodal, network
+# ---------------------------------------------------------------------------
+
+def q_lang_identify(spark, sf):
+    from healthcare_entity_resolution_spark.operators import textstats as TS
+
+    return TS.identify_language(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_quality_features(spark, sf):
+    from healthcare_entity_resolution_spark.operators import textstats as TS
+
+    return TS.quality_features(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_token_counts(spark, sf):
+    from healthcare_entity_resolution_spark.operators import textstats as TS
+
+    return TS.token_counts(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_fingerprint(spark, sf):
+    from healthcare_entity_resolution_spark.operators import textstats as TS
+
+    return TS.fingerprint(_t(spark, sf, "documents"), "doc_id", "text", k=8)
+
+
+def _shingles(text_col, k: int = 5):
+    t = F.trim(F.lower(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+
+
+def q_dedup_minhash_portable(spark, sf):
+    """MinHash/LSH dedup with an md5-string MinHash (min of md5(salt‖shingle))
+    so the EXACT same signature is computable in ANSI SQL — the DuckDB oracle
+    runs the identical scheme.  4 bands x 2 rows over 8 'permutations'."""
+    d = _t(spark, sf, "documents")
+    base = d.select(F.col("doc_id").cast("string").alias("id"),
+                    _shingles(F.col("text")).alias("sh"))
+    for j in range(8):
+        base = base.withColumn(
+            f"m{j}",
+            F.array_min(F.transform("sh", lambda t, j=j: F.md5(F.concat(F.lit(f"s{j}|"), t)))),
+        )
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("bi"),
+                 F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("bk"))
+        for b in range(4)
+    ])
+    keyed = base.select("id", "sh", F.explode(bands).alias("b")).select(
+        "id", "sh", F.col("b.bi").alias("bi"), F.col("b.bk").alias("bk")
+    )
+    a = keyed.select("bi", "bk", F.col("id").alias("id_1"), F.col("sh").alias("s1"))
+    b = keyed.select("bi", "bk", F.col("id").alias("id_2"), F.col("sh").alias("s2"))
+    cand = (
+        a.join(b, ["bi", "bk"]).where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "s1", "s2").dropDuplicates(["id_1", "id_2"])
+    )
+    jac = (F.size(F.array_intersect("s1", "s2")).cast("double")
+           / F.size(F.array_union("s1", "s2")).cast("double"))
+    return cand.select(
+        "id_1", "id_2", F.floor(jac * 1e6).alias("jaccard_micro")
+    ).where(F.col("jaccard_micro") >= 600000)
+
+
+def q_dedup_simhash16(spark, sf):
+    """Portable 16-bit SimHash over char-5 shingles: per-shingle value from
+    the first 4 hex chars of md5, bit-majority aggregated per document —
+    pure integer arithmetic, identical in Spark and the DuckDB oracle."""
+    d = _t(spark, sf, "documents")
+    ex = d.select(F.col("doc_id"), F.explode(_shingles(F.col("text"))).alias("t"))
+    h = F.md5(F.col("t"))
+    hexv = F.lit(0)
+    for kpos in range(1, 5):
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, kpos, 1)) - 1
+        hexv = hexv + digit * (16 ** (4 - kpos))
+    ex = ex.select("doc_id", hexv.alias("v"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("v"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    g = ex.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0)
+    for i in range(16):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return g.select("doc_id", sim.alias("simhash16"))
+
+
+def q_emb_ann_lsh(spark, sf):
+    """Sign-LSH probe: bucket = sign bits of dims 1-4; scan only buckets
+    within hamming distance 1 of the query's bucket, exact cosine re-rank."""
+    e = _t(spark, sf, "embeddings")
+    as_double = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    bucket = (
+        F.when(F.element_at("embedding", 1) >= 0, 1).otherwise(0)
+        + F.when(F.element_at("embedding", 2) >= 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) >= 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 4) >= 0, 8).otherwise(0)
+    )
+    ed = e.select("vec_id", as_double("embedding").alias("v"), bucket.alias("bucket"))
+    q = ed.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    j = ed.crossJoin(F.broadcast(q)).where(
+        (F.col("vec_id") != 0)
+        & (F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= 1)
+    )
+    dot = F.aggregate(F.zip_with("v", "qv", lambda x, y: x * y),
+                      F.lit(0.0).cast("double"), lambda a, x: a + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.col(c), F.lit(0.0).cast("double"),  # noqa: E731
+                                       lambda a, x: a + x * x))
+    cos = dot / (nrm("v") * nrm("qv"))
+    return (
+        j.select("vec_id", F.round(cos, 5).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id").limit(20)
+    )
+
+
+def q_multimodal_meta(spark, sf):
+    """Binary media column metadata: documents' text re-encoded as an opaque
+    binary payload; metadata (byte length + content digest) computed from
+    the BINARY column JVM-side via the multimodal operator."""
+    from healthcare_entity_resolution_spark.operators import multimodal as MM
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text").alias("kind"),
+    )
+    return MM.attach_media_metadata(d, "media_id", "payload", "kind")
+
+
+def q_n3_referral_metrics(spark, sf):
+    from healthcare_entity_resolution_spark.operators import network as NW
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 50).alias("dst")
+    ).where(F.col("src") != F.col("dst")).groupBy("src", "dst").agg(
+        F.count("*").alias("referral_count")
+    )
+    return NW.referral_metrics(e)
+
+
+def q_n5_colleague_merge(spark, sf):
+    from healthcare_entity_resolution_spark.operators import network as NW
+
+    ents = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("canonical_id"),
+        F.concat(F.lit("F"), (F.col("s_nationkey") % 10).cast("string")).alias(
+            "primary_facility"
+        ),
+    )
+    return NW.merge_colleague_edges(NW.colleague_pairs(ents))
+
+
+def q_n2_pagerank(spark, sf):
+    from healthcare_entity_resolution_spark.operators import network as NW
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 50).alias("dst")
+    ).where(F.col("src") != F.col("dst")).groupBy("src", "dst").agg(
+        F.count("*").alias("referral_count")
+    )
+    out = NW.pagerank(e)
+    return out.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
+def q_g13_cluster_quality(spark, sf):
+    from healthcare_entity_resolution_spark.operators import graph as GR
+
+    recs = _cust_records(spark, sf)
+    edges = _cust_matches(spark, sf).withColumnRenamed("overall_score", "weight")
+    out = GR.cluster_quality(recs, edges, _cust_assignments(spark, sf))
+    # NULL avg/min (edgeless clusters) -> -1 sentinel: mixed None/float
+    # columns break order-insensitive row sorting in comparison harnesses
+    return out.select(
+        "component_id", "size", "n_edges",
+        F.coalesce("avg_weight", F.lit(-1.0)).alias("avg_weight"),
+        F.coalesce("min_weight", F.lit(-1.0)).alias("min_weight"),
+        "density", "npi_count", "state_count", "source_count", "npi_conflict",
+        "quality_score", "warnings",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_project_filter": q_s1_scan,
@@ -669,6 +857,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k5_record_confidence": q_k5_record_confidence,
         "a6_mode_then_priority": q_a6_mode_priority,
         "a7_collect_distinct_sorted": q_a7_collect_distinct,
+        "text_language_id": q_lang_identify,
+        "text_quality_features": q_quality_features,
+        "text_token_counts": q_token_counts,
+        "text_fingerprint": q_fingerprint,
+        "dedup_minhash_lsh": q_dedup_minhash_portable,
+        "dedup_simhash16": q_dedup_simhash16,
+        "emb_ann_sign_lsh": q_emb_ann_lsh,
+        "multimodal_binary_meta": q_multimodal_meta,
+        "n2_pagerank": q_n2_pagerank,
+        "n3_referral_metrics": q_n3_referral_metrics,
+        "n5_colleague_merge": q_n5_colleague_merge,
+        "g13_cluster_quality": q_g13_cluster_quality,
     }
 
 
@@ -1002,5 +1202,185 @@ def oracle_sql() -> dict[str, str]:
         "a7_collect_distinct_sorted": (
             "SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments "
             "FROM customer GROUP BY c_nationkey"
+        ),
+        "text_language_id": (
+            "WITH toks AS (SELECT doc_id, "
+            "  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS tk "
+            " FROM documents), "
+            "scores AS (SELECT doc_id, unnest([ "
+            "  {'l': 'de', 's': CAST(len(list_intersect(tk, "
+            "   ['der','die','und','das','von','zu','den','mit','ist','des'])) AS DOUBLE) / 10.0}, "
+            "  {'l': 'en', 's': CAST(len(list_intersect(tk, "
+            "   ['the','and','of','to','in','is','that','it','for','with'])) AS DOUBLE) / 10.0}, "
+            "  {'l': 'es', 's': CAST(len(list_intersect(tk, "
+            "   ['el','la','de','que','y','en','un','los','del','las'])) AS DOUBLE) / 10.0}, "
+            "  {'l': 'fr', 's': CAST(len(list_intersect(tk, "
+            "   ['le','la','de','et','les','des','un','une','du','est'])) AS DOUBLE) / 10.0}, "
+            "  {'l': 'zh', 's': CAST(len(list_intersect(tk, "
+            "   ['的','了','是','在','我','有','和','就','不','人'])) AS DOUBLE) / 10.0} "
+            "  ]) AS u FROM toks), "
+            "best AS (SELECT doc_id, u.l AS l, u.s AS s, row_number() OVER "
+            "  (PARTITION BY doc_id ORDER BY u.s DESC, u.l DESC) AS rn FROM scores) "
+            "SELECT doc_id, CASE WHEN s > 0 THEN l ELSE 'und' END AS lang_pred, "
+            " round(s, 6) AS lang_score FROM best WHERE rn = 1"
+        ),
+        "text_quality_features": (
+            "WITH f AS (SELECT doc_id, text AS t, "
+            "  string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents), "
+            "m AS (SELECT doc_id, t, CAST(len(tk) AS DOUBLE) AS n_tok, "
+            "  CAST(length(t) AS DOUBLE) AS n_chars, "
+            "  CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha, "
+            "  CAST(length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct, "
+            "  CAST(len(list_intersect(list_distinct(tk), "
+            "   ['the','and','of','to','in','is','that','it','for','with'])) AS DOUBLE) AS stop_en, "
+            "  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio, "
+            "  CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS DOUBLE) / len(tk) AS mean_wlen "
+            " FROM f) "
+            "SELECT doc_id, CAST(n_tok AS INT) AS n_tokens, "
+            " round(mean_wlen, 6) AS mean_word_len, "
+            " round(alpha / n_chars, 6) AS alpha_ratio, "
+            " round(punct / n_chars, 6) AS punct_ratio, "
+            " round(stop_en / 10.0, 6) AS stopword_ratio, "
+            " round(distinct_ratio, 6) AS distinct_token_ratio, "
+            " round(CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END + "
+            "  CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 0.25 ELSE 0.0 END + "
+            "  least(alpha / n_chars, 0.9) / 0.9 * 0.25 + "
+            "  least(distinct_ratio * 2, 1.0) * 0.25, 6) AS quality_score "
+            "FROM m"
+        ),
+        "text_token_counts": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            " len(string_split_regex(trim(lower(text)), '\\s+')) AS n_ws_tokens, "
+            " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "text_fingerprint": (
+            "SELECT doc_id, list_min(list_transform("
+            " range(1, greatest(length(t) - 7, 1) + 1), i -> md5(substr(t, i, 8)))) "
+            " AS fingerprint "
+            "FROM (SELECT doc_id, trim(lower(text)) AS t FROM documents)"
+        ),
+        "dedup_minhash_lsh": (
+            "WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id, "
+            "  list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1), "
+            "   i -> substr(t, i, 5))) AS sh "
+            " FROM (SELECT doc_id, trim(lower(text)) AS t FROM documents)), "
+            "sig AS (SELECT id, sh, "
+            "  list_min(list_transform(sh, t -> md5('s0|' || t))) AS m0, "
+            "  list_min(list_transform(sh, t -> md5('s1|' || t))) AS m1, "
+            "  list_min(list_transform(sh, t -> md5('s2|' || t))) AS m2, "
+            "  list_min(list_transform(sh, t -> md5('s3|' || t))) AS m3, "
+            "  list_min(list_transform(sh, t -> md5('s4|' || t))) AS m4, "
+            "  list_min(list_transform(sh, t -> md5('s5|' || t))) AS m5, "
+            "  list_min(list_transform(sh, t -> md5('s6|' || t))) AS m6, "
+            "  list_min(list_transform(sh, t -> md5('s7|' || t))) AS m7 "
+            " FROM base), "
+            "keyed AS (SELECT id, u.bi AS bi, u.bk AS bk FROM (SELECT id, unnest([ "
+            "  {'bi': 0, 'bk': md5(m0 || m1)}, {'bi': 1, 'bk': md5(m2 || m3)}, "
+            "  {'bi': 2, 'bk': md5(m4 || m5)}, {'bi': 3, 'bk': md5(m6 || m7)}]) AS u "
+            " FROM sig)), "
+            "cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2 FROM keyed a "
+            " JOIN keyed b ON a.bi = b.bi AND a.bk = b.bk AND a.id < b.id) "
+            "SELECT c.id_1, c.id_2, CAST(floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) "
+            " / len(list_distinct(list_concat(x.sh, y.sh))) * 1e6) AS BIGINT) AS jaccard_micro "
+            "FROM cand c JOIN base x ON c.id_1 = x.id JOIN base y ON c.id_2 = y.id "
+            "WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) "
+            " / len(list_distinct(list_concat(x.sh, y.sh))) * 1e6) >= 600000"
+        ),
+        "dedup_simhash16": (
+            "WITH ex AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "  range(1, greatest(length(t) - 4, 1) + 1), i -> substr(t, i, 5)))) AS tok "
+            " FROM (SELECT doc_id, trim(lower(text)) AS t FROM documents)), "
+            "v AS (SELECT doc_id, "
+            "  (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 + "
+            "  (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 + "
+            "  (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 + "
+            "  (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS hv FROM ex), "
+            "bits AS (SELECT doc_id, "
+            + ", ".join(
+                f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+                for i in range(16)
+            )
+            + " FROM v GROUP BY doc_id) "
+            "SELECT doc_id, "
+            + " + ".join(
+                f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16)
+            )
+            + " AS simhash16 FROM bits"
+        ),
+        "emb_ann_sign_lsh": (
+            "WITH ed AS (SELECT vec_id, "
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+            "  CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + "
+            "  CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END + "
+            "  CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + "
+            "  CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END AS bucket "
+            " FROM embeddings), "
+            "q AS (SELECT v AS qv, bucket AS qb FROM ed WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / "
+            " (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) "
+            " AS cosine "
+            "FROM ed e, q WHERE e.vec_id != 0 AND bit_count(xor(e.bucket, q.qb)) <= 1 "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 20"
+        ),
+        "multimodal_binary_meta": (
+            "SELECT doc_id AS media_id, 'text' AS kind, "
+            " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            " sha256(text) AS sha256 FROM documents"
+        ),
+        # n2_pagerank: no oracle — iterative fixpoint (rows-only check)
+        "n3_referral_metrics": (
+            "WITH e AS (SELECT user_id AS src, event_id % 50 AS dst, "
+            "  count(*) AS referral_count FROM events "
+            " WHERE user_id != event_id % 50 GROUP BY 1, 2), "
+            "o AS (SELECT src AS id, count(*) AS out_degree, "
+            "  sum(referral_count) AS out_volume FROM e GROUP BY src), "
+            "i AS (SELECT dst AS id, count(*) AS in_degree, "
+            "  sum(referral_count) AS in_volume FROM e GROUP BY dst) "
+            "SELECT coalesce(o.id, i.id) AS id, "
+            " coalesce(out_degree, 0) AS out_degree, coalesce(out_volume, 0) AS out_volume, "
+            " coalesce(in_degree, 0) AS in_degree, coalesce(in_volume, 0) AS in_volume "
+            "FROM o FULL JOIN i ON o.id = i.id"
+        ),
+        "n5_colleague_merge": (
+            "WITH ent AS (SELECT CAST(s_suppkey AS VARCHAR) AS id, "
+            "  'F' || CAST(s_nationkey % 10 AS VARCHAR) AS facility FROM supplier), "
+            "keep AS (SELECT facility FROM ent GROUP BY facility "
+            " HAVING count(*) >= 2 AND count(*) <= 100), "
+            "fac AS (SELECT e.* FROM ent e JOIN keep k ON e.facility = k.facility) "
+            "SELECT a.id AS id_1, b.id AS id_2, 0.5 AS strength, "
+            " ['same_facility'] AS relation_types "
+            "FROM fac a JOIN fac b ON a.facility = b.facility AND a.id < b.id "
+            "GROUP BY a.id, b.id"
+        ),
+        "g13_cluster_quality": (
+            "WITH rec AS (" + _CUST_REC_SQL + "), m AS (" + _CUST_MATCH_SQL + "), "
+            "node_stats AS (SELECT component_id, count(*) AS size, "
+            "  count(DISTINCT npi) AS npi_count, "
+            "  count(DISTINCT facility_state) AS state_count, "
+            "  count(DISTINCT source) AS source_count FROM rec GROUP BY component_id), "
+            "e AS (SELECT m.overall_score AS weight, r.component_id FROM m "
+            " JOIN rec r ON m.id_1 = r.source_id), "
+            "edge_stats AS (SELECT component_id, count(*) AS n_edges, "
+            "  round(avg(weight), 6) AS avg_weight, round(min(weight), 6) AS min_weight "
+            " FROM e GROUP BY component_id), "
+            "j AS (SELECT ns.*, coalesce(es.n_edges, 0) AS n_edges, "
+            "  es.avg_weight, es.min_weight "
+            " FROM node_stats ns LEFT JOIN edge_stats es USING (component_id)) "
+            "SELECT component_id, size, n_edges, "
+            " coalesce(avg_weight, -1.0) AS avg_weight, "
+            " coalesce(min_weight, -1.0) AS min_weight, "
+            " round(CASE WHEN size > 1 THEN n_edges / (size * (size - 1) / 2.0) "
+            "  ELSE 1.0 END, 6) AS density, "
+            " npi_count, state_count, source_count, npi_count > 1 AS npi_conflict, "
+            " round(coalesce(avg_weight, 0.5) * "
+            "  CASE WHEN npi_count > 1 THEN 0.1 ELSE 1.0 END * "
+            "  CASE WHEN size > 50 THEN 0.5 ELSE 1.0 END, 6) AS quality_score, "
+            " list_filter([CASE WHEN npi_count > 1 THEN 'npi_conflict' END, "
+            "  CASE WHEN size > 50 THEN 'large_cluster' END, "
+            "  CASE WHEN state_count > 3 THEN 'many_states' END, "
+            "  CASE WHEN coalesce(min_weight, 1.0) < 0.40 THEN 'weak_edge' END], "
+            "  x -> x IS NOT NULL) AS warnings "
+            "FROM j"
         ),
     }
