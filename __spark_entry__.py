@@ -664,7 +664,15 @@ def _shingles(text_col, k: int = 5):
 def q_dedup_minhash_portable(spark, sf):
     """MinHash/LSH dedup with an md5-string MinHash (min of md5(salt‖shingle))
     so the EXACT same signature is computable in ANSI SQL — the DuckDB oracle
-    runs the identical scheme.  4 bands x 2 rows over 8 'permutations'."""
+    runs the identical scheme.  4 bands x 2 rows over 8 'permutations'.
+
+    Shuffle discipline (this is the plan shape that survives 100 TB):
+    1. candidate ids ONLY through the band self-join + distinct — never the
+       shingle arrays (a ~23 KB/row payload through a dedup shuffle);
+    2. cheap deterministic prefilter: >=4 of 8 signature mins agree
+       (estimated J >= 0.5) — bit-identical on both engines, so it is part
+       of the query definition, not an approximation mismatch;
+    3. exact Jaccard verify only for survivors, shingles joined back in."""
     d = _t(spark, sf, "documents")
     base = d.select(F.col("doc_id").cast("string").alias("id"),
                     _shingles(F.col("text")).alias("sh"))
@@ -673,23 +681,40 @@ def q_dedup_minhash_portable(spark, sf):
             f"m{j}",
             F.array_min(F.transform("sh", lambda t, j=j: F.md5(F.concat(F.lit(f"s{j}|"), t)))),
         )
+    base = base.persist()
+    sigs = base.select("id", *[f"m{j}" for j in range(8)])
     bands = F.array(*[
         F.struct(F.lit(b).alias("bi"),
                  F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("bk"))
         for b in range(4)
     ])
-    keyed = base.select("id", "sh", F.explode(bands).alias("b")).select(
-        "id", "sh", F.col("b.bi").alias("bi"), F.col("b.bk").alias("bk")
+    keyed = base.select("id", F.explode(bands).alias("b")).select(
+        "id", F.col("b.bi").alias("bi"), F.col("b.bk").alias("bk")
     )
-    a = keyed.select("bi", "bk", F.col("id").alias("id_1"), F.col("sh").alias("s1"))
-    b = keyed.select("bi", "bk", F.col("id").alias("id_2"), F.col("sh").alias("s2"))
+    a = keyed.select("bi", "bk", F.col("id").alias("id_1"))
+    b = keyed.select("bi", "bk", F.col("id").alias("id_2"))
     cand = (
         a.join(b, ["bi", "bk"]).where(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "s1", "s2").dropDuplicates(["id_1", "id_2"])
+        .select("id_1", "id_2").dropDuplicates(["id_1", "id_2"])
     )
-    jac = (F.size(F.array_intersect("s1", "s2")).cast("double")
-           / F.size(F.array_union("s1", "s2")).cast("double"))
-    return cand.select(
+    s1 = sigs.select(F.col("id").alias("id_1"),
+                     *[F.col(f"m{j}").alias(f"a{j}") for j in range(8)])
+    s2 = sigs.select(F.col("id").alias("id_2"),
+                     *[F.col(f"m{j}").alias(f"b{j}") for j in range(8)])
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(8)
+    )
+    pre = (
+        cand.join(s1, "id_1").join(s2, "id_2")
+        .where(agree >= 4)
+        .select("id_1", "id_2")
+    )
+    g1 = base.select(F.col("id").alias("id_1"), F.col("sh").alias("sh1"))
+    g2 = base.select(F.col("id").alias("id_2"), F.col("sh").alias("sh2"))
+    verified = pre.join(g1, "id_1").join(g2, "id_2")
+    jac = (F.size(F.array_intersect("sh1", "sh2")).cast("double")
+           / F.size(F.array_union("sh1", "sh2")).cast("double"))
+    return verified.select(
         "id_1", "id_2", F.floor(jac * 1e6).alias("jaccard_micro")
     ).where(F.col("jaccard_micro") >= 600000)
 
@@ -1280,10 +1305,20 @@ def oracle_sql() -> dict[str, str]:
             "  {'bi': 2, 'bk': md5(m4 || m5)}, {'bi': 3, 'bk': md5(m6 || m7)}]) AS u "
             " FROM sig)), "
             "cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2 FROM keyed a "
-            " JOIN keyed b ON a.bi = b.bi AND a.bk = b.bk AND a.id < b.id) "
+            " JOIN keyed b ON a.bi = b.bi AND a.bk = b.bk AND a.id < b.id), "
+            "pre AS (SELECT c.id_1, c.id_2 FROM cand c "
+            " JOIN sig p ON c.id_1 = p.id JOIN sig q ON c.id_2 = q.id "
+            " WHERE (CASE WHEN p.m0 = q.m0 THEN 1 ELSE 0 END + "
+            "  CASE WHEN p.m1 = q.m1 THEN 1 ELSE 0 END + "
+            "  CASE WHEN p.m2 = q.m2 THEN 1 ELSE 0 END + "
+            "  CASE WHEN p.m3 = q.m3 THEN 1 ELSE 0 END + "
+            "  CASE WHEN p.m4 = q.m4 THEN 1 ELSE 0 END + "
+            "  CASE WHEN p.m5 = q.m5 THEN 1 ELSE 0 END + "
+            "  CASE WHEN p.m6 = q.m6 THEN 1 ELSE 0 END + "
+            "  CASE WHEN p.m7 = q.m7 THEN 1 ELSE 0 END) >= 4) "
             "SELECT c.id_1, c.id_2, CAST(floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) "
             " / len(list_distinct(list_concat(x.sh, y.sh))) * 1e6) AS BIGINT) AS jaccard_micro "
-            "FROM cand c JOIN base x ON c.id_1 = x.id JOIN base y ON c.id_2 = y.id "
+            "FROM pre c JOIN base x ON c.id_1 = x.id JOIN base y ON c.id_2 = y.id "
             "WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) "
             " / len(list_distinct(list_concat(x.sh, y.sh))) * 1e6) >= 600000"
         ),

@@ -54,8 +54,14 @@ def main() -> None:
         "a13_score_stats",
         "a16_pairwise_f1",
         "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
         "emb_cosine_topk",
+        "emb_ann_sign_lsh",
         "text_token_stats",
+        "text_quality_features",
+        "text_language_id",
+        "g4_connected_components",
+        "k3_survivorship",
     ]
     qs = E.queries()
     for name in bench_queries:

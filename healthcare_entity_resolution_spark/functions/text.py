@@ -137,6 +137,39 @@ def tf_cosine(h1: np.ndarray, c1: np.ndarray, h2: np.ndarray, c2: np.ndarray) ->
     return dot / (n1 * n2)
 
 
+def sorted_jaccard(h1: np.ndarray, h2: np.ndarray) -> float:
+    """Jaccard of two SORTED distinct-hash arrays via searchsorted — ~2x
+    faster than np.intersect1d (which re-sorts the concatenation)."""
+    if h1.size == 0 and h2.size == 0:
+        return 1.0
+    if h1.size == 0 or h2.size == 0:
+        return 0.0
+    if h1.size > h2.size:
+        h1, h2 = h2, h1
+    idx = np.searchsorted(h2, h1)
+    idx[idx == h2.size] = h2.size - 1
+    inter = int((h2[idx] == h1).sum())
+    return inter / float(h1.size + h2.size - inter)
+
+
+def sorted_tf_cosine_prenorm(
+    h1: np.ndarray, c1: np.ndarray, n1: float,
+    h2: np.ndarray, c2: np.ndarray, n2: float,
+) -> float:
+    """TF cosine with precomputed L2 norms over sorted (ids, counts)."""
+    if h1.size == 0 or h2.size == 0:
+        return 0.0
+    if h1.size > h2.size:
+        h1, c1, h2, c2 = h2, c2, h1, c1
+    idx = np.searchsorted(h2, h1)
+    idx[idx == h2.size] = h2.size - 1
+    hit = h2[idx] == h1
+    if not hit.any():
+        return 0.0
+    dot = float((c1[hit].astype(np.float64) * c2[idx[hit]].astype(np.float64)).sum())
+    return dot / (n1 * n2)
+
+
 def shingle_tf(text: str, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """(sorted shingle ids, counts) for TF-cosine."""
     b = np.frombuffer(text.lower().encode("utf-8", errors="ignore"), dtype=np.uint8)

@@ -133,13 +133,17 @@ def canonical_entities(
         F.min("source_id").alias("_min_sid"),
     )
 
+    # each pick is exactly one row per component — broadcast them against
+    # the base aggregate instead of six sort-merge shuffles (plan audited in
+    # PLANS.md; at 10^9 entities switch to a single shuffle by pre-uniting
+    # the picks on component_id)
     out = (
-        base.join(npi_pick, "component_id", "left")
-        .join(name_pick, "component_id", "left")
-        .join(spec_pick, "component_id", "left")
-        .join(fac_pick, "component_id", "left")
-        .join(city_pick, "component_id", "left")
-        .join(state_pick, "component_id", "left")
+        base.join(F.broadcast(npi_pick), "component_id", "left")
+        .join(F.broadcast(name_pick), "component_id", "left")
+        .join(F.broadcast(spec_pick), "component_id", "left")
+        .join(F.broadcast(fac_pick), "component_id", "left")
+        .join(F.broadcast(city_pick), "component_id", "left")
+        .join(F.broadcast(state_pick), "component_id", "left")
     )
     canonical_id = F.when(
         F.col("npi").isNotNull(), F.concat(F.lit("PHY_"), F.col("npi"))

@@ -23,6 +23,7 @@ from __future__ import annotations
 import time
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,34 +64,34 @@ def score_code_pairs(
     )
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tok_cache: dict[str, object] = {}
-        tf_cache: dict[str, object] = {}
+        # Per-file features memoized by content_sha (16-hex-char prefix key:
+        # far cheaper to hash per lookup than a multi-hundred-char content
+        # string, and two near-identical contents never share a sha).
+        # Entry: (sorted token hashes, tf ids, tf counts, precomputed L2 norm)
+        feat_cache: dict[str, tuple] = {}
 
-        def toks(s: str):
-            v = tok_cache.get(s)
+        def feats(sha: str, content: str):
+            key = sha[:16]
+            v = feat_cache.get(key)
             if v is None:
-                v = textfn.token_hashes(s)
-                tok_cache[s] = v
-            return v
-
-        def tf(s: str):
-            v = tf_cache.get(s)
-            if v is None:
-                v = textfn.shingle_tf(s, k=shingle_k)
-                tf_cache[s] = v
+                tok = np.sort(textfn.token_hashes(content))
+                ids, counts = textfn.shingle_tf(content, k=shingle_k)
+                norm = float(np.sqrt((counts.astype(np.float64) ** 2).sum())) or 1.0
+                v = (tok, ids, counts, norm)
+                feat_cache[key] = v
             return v
 
         for pdf in batches:
             t0 = time.perf_counter()
             n = len(pdf)
-            jw_path = [
-                strsim.jaro_winkler_similarity(p1, p2)
-                for p1, p2 in zip(pdf["path_norm_1"], pdf["path_norm_2"])
-            ]
-            jw_repo = [
-                strsim.jaro_winkler_similarity(r1, r2)
-                for r1, r2 in zip(pdf["repo_1"], pdf["repo_2"])
-            ]
+            # batched Jaro-Winkler: vectorized over the pair dimension
+            # (functions/strsim.jaro_winkler_batch, ~5x the scalar kernel)
+            jw_path = strsim.jaro_winkler_batch(
+                pdf["path_norm_1"].tolist(), pdf["path_norm_2"].tolist()
+            )
+            jw_repo = strsim.jaro_winkler_batch(
+                pdf["repo_1"].tolist(), pdf["repo_2"].tolist()
+            )
             jac, cos = [], []
             for c1, c2, s1, s2 in zip(
                 pdf["content_1"], pdf["content_2"], pdf["content_sha_1"], pdf["content_sha_2"]
@@ -99,10 +100,10 @@ def score_code_pairs(
                     jac.append(1.0)
                     cos.append(1.0)
                     continue
-                jac.append(textfn.jaccard(toks(c1), toks(c2)))
-                h1, w1 = tf(c1)
-                h2, w2 = tf(c2)
-                cos.append(textfn.tf_cosine(h1, w1, h2, w2))
+                t1, i1, w1, n1 = feats(s1, c1)
+                t2, i2, w2, n2 = feats(s2, c2)
+                jac.append(textfn.sorted_jaccard(t1, t2))
+                cos.append(textfn.sorted_tf_cosine_prenorm(i1, w1, n1, i2, w2, n2))
             ms = (time.perf_counter() - t0) * 1000.0
             yield pd.DataFrame(
                 {

@@ -130,6 +130,86 @@ def resolve_files(
     }
 
 
+def resolve_physicians(
+    spark: SparkSession,
+    records: DataFrame,
+    referrals: DataFrame | None = None,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+) -> dict[str, DataFrame]:
+    """Reference-parity flagship (§3.1, pipeline.py:23-152): normalized
+    records -> blocking -> scoring -> classify -> graph+weights -> full
+    pruning (G5-G9) -> CC -> canonical entities + confidences -> referral
+    network + PageRank -> reports.
+
+    ``records`` is the union of normalized sources (operators/normalize.py);
+    ``referrals`` (optional) has (referring_npi, receiving_npi,
+    referral_date).
+    """
+    from .operators import canonicalize as K
+    from .operators import graph as GR
+    from .operators import network as NW
+    from .operators import pruning as P
+    from .operators import reports as R
+
+    t0 = time.perf_counter()
+    records = records.persist()
+    n_rec = records.count()
+
+    keys = B.physician_block_keys(records, cfg)
+    pairs = B.candidate_pairs(keys, cfg, lineage)
+    scored = S.score_physician_pairs(records, pairs, cfg)
+    classified = C.classify(scored, cfg).persist()
+    classified = C.determine_match_type(classified)
+    matches = C.confirmed_matches(classified, cfg)
+    lineage.log("phys.matching", records=n_rec, pairs=classified.count(),
+                sec=time.perf_counter() - t0)
+
+    edges = GR.build_edges(records, matches, cfg)
+    node_ids = records.select(F.col("source_id").alias("id"),
+                              F.col("npi").alias("auth_id"))
+    pruned = P.full_pruning(edges, node_ids, cfg, lineage)
+    assignments = G.connected_components(
+        pruned.select("id_1", "id_2"),
+        vertices=records.select(F.col("source_id").alias("id")),
+        cfg=cfg, lineage=lineage,
+    ).persist()
+
+    entities = K.canonical_entities(records, assignments, cfg)
+    mapping = K.source_canonical_mapping(entities)
+    e_conf = K.entity_confidence(records, pruned, assignments, cfg)
+    r_conf = K.record_confidence(pruned, assignments, cfg)
+
+    out = {
+        "records": records,
+        "classified": classified,
+        "edges": pruned,
+        "assignments": assignments,
+        "entities": entities.join(e_conf,
+                                  entities["component_id"] == e_conf["component_id"],
+                                  "left").drop(e_conf["component_id"]),
+        "mapping": mapping,
+        "record_confidence": r_conf,
+        "report_data_quality": R.data_quality_report(records),
+        "report_match_quality": R.match_quality_report(classified),
+        "report_cluster_sizes": R.cluster_size_report(assignments),
+    }
+
+    if referrals is not None:
+        npi_map = (
+            records.where(F.col("npi").isNotNull())
+            .join(mapping, "source_id")
+            .select(F.col("npi").alias("source_key"), "canonical_id")
+            .dropDuplicates(["source_key"])
+        )
+        graph = NW.build_referral_graph(referrals, npi_map)
+        out["referral_graph"] = graph
+        out["influence"] = NW.pagerank(graph, cfg, lineage)
+        out["referral_metrics"] = NW.referral_metrics(graph)
+    lineage.log("phys.pipeline.done", sec=time.perf_counter() - t0)
+    return out
+
+
 def documents_as_files(documents: DataFrame) -> DataFrame:
     """Adapter: the testdata ``documents(doc_id, text, lang, source)`` table
     viewed as a files corpus (source->repo, doc_id->path, content=text)."""

@@ -1,0 +1,12 @@
+"""Structured Streaming surface (incremental ingest).
+
+The reference is strictly batch (SURVEY.md §2.12); the engine's streaming
+surface exists for the corpus-pipeline reality that new files arrive
+continuously.  Design: micro-batch incremental resolution, not a bespoke
+stateful operator — each batch joins against the committed state snapshots
+and appends, which is exactly the Iceberg-ingest pattern.
+"""
+
+from .incremental import incremental_resolution_stream, micro_batch_resolve
+
+__all__ = ["incremental_resolution_stream", "micro_batch_resolve"]

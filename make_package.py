@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Build the spark-submit artifact (north_rule: "ships as a spark-submit
+--py-files package").
+
+Produces ``dist/healthcare_entity_resolution_spark.zip`` — a source zip of
+the package importable by executors — and prints the spark-submit
+invocation.  No third-party build backend needed; the package is pure
+Python and its only runtime deps (pyspark, pyarrow, pandas, numpy) ship
+with the cluster image.
+
+    python make_package.py
+    spark-submit --py-files dist/healthcare_entity_resolution_spark.zip \
+        run_pipeline.py --input <iceberg-table-or-parquet> --output <dir>
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+PKG = "healthcare_entity_resolution_spark"
+
+
+def build(dist_dir: str = "dist") -> str:
+    os.makedirs(dist_dir, exist_ok=True)
+    out = os.path.join(dist_dir, f"{PKG}.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, names in os.walk(PKG):
+            if "__pycache__" in root:
+                continue
+            for n in sorted(names):
+                if n.endswith(".py"):
+                    p = os.path.join(root, n)
+                    z.write(p, p)
+    return out
+
+
+if __name__ == "__main__":
+    path = build()
+    size = os.path.getsize(path)
+    print(f"built {path} ({size} bytes)")
+    print(f"spark-submit --py-files {path} run_pipeline.py "
+          "--input <files-table> --output <run-dir>")

@@ -1,0 +1,88 @@
+"""Resume-from-snapshot semantics (north_rule: interrupted runs resume from
+the last committed snapshot without recomputing completed stages)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_entity_resolution_spark.corpus import generate_files_corpus
+from healthcare_entity_resolution_spark.plans.snapshots import (
+    SnapshotStore,
+    anti_join_completed,
+    resumable_resolve_files,
+)
+
+
+@pytest.fixture()
+def run_dir(tmp_path):
+    d = str(tmp_path / "run1")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshot_commit_load_atomicity(spark, run_dir):
+    store = SnapshotStore(spark, run_dir)
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    out = store.commit(df, "stage_a")
+    assert store.exists("stage_a") and out.count() == 10
+    # overwrite commit replaces atomically
+    out2 = store.commit(spark.range(5), "stage_a")
+    assert out2.count() == 5
+    assert store.load("stage_a").count() == 5
+    assert not store.exists("never_written")
+
+
+def test_stage_skips_completed(spark, run_dir):
+    store = SnapshotStore(spark, run_dir)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    _, resumed1 = store.stage("s", build)
+    _, resumed2 = store.stage("s", build)
+    assert (resumed1, resumed2) == (False, True)
+    assert len(calls) == 1          # second run loaded the snapshot
+
+
+def test_anti_join_completed(spark, run_dir):
+    store = SnapshotStore(spark, run_dir)
+    store.commit(spark.createDataFrame([(1,), (2,)], "block_id int"), "done_blocks")
+    work = spark.createDataFrame([(1,), (2,), (3,), (4,)], "block_id int")
+    left = anti_join_completed(work, store, "done_blocks", ["block_id"])
+    assert sorted(r.block_id for r in left.collect()) == [3, 4]
+
+
+def test_resumable_pipeline_matches_and_resumes(spark, run_dir):
+    files_pdf, _ = generate_files_corpus(n_entities=40, seed=7)
+    files = spark.createDataFrame(
+        files_pdf[["repo", "path", "commit", "lang", "content"]]
+    )
+    out1 = resumable_resolve_files(spark, files, run_dir)
+    a1 = sorted(map(tuple, out1["assignments"].collect()))
+
+    # second run with the same run_dir: every stage must resume, results equal
+    from healthcare_entity_resolution_spark.plans.lineage import LineageLog
+
+    lin = LineageLog()
+    out2 = resumable_resolve_files(spark, files, run_dir, lineage=lin)
+    a2 = sorted(map(tuple, out2["assignments"].collect()))
+    assert a1 == a2
+    resume_flags = {e["stage"]: e["resumed"] for e in lin.events
+                    if e["stage"].startswith("resume.")}
+    assert all(resume_flags.values()), resume_flags
+
+    # partial resume: drop the final snapshot only -> earlier stages resume,
+    # final stage recomputes to the same answer
+    shutil.rmtree(f"{run_dir}/assignments")
+    lin2 = LineageLog()
+    out3 = resumable_resolve_files(spark, files, run_dir, lineage=lin2)
+    flags = {e["stage"]: e["resumed"] for e in lin2.events
+             if e["stage"].startswith("resume.")}
+    assert flags["resume.files"] and flags["resume.pairs"] and flags["resume.classified"]
+    assert not flags["resume.assignments"]
+    assert sorted(map(tuple, out3["assignments"].collect())) == a1

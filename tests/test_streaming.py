@@ -1,0 +1,68 @@
+"""Incremental (Structured Streaming) resolution: drops arrive in waves;
+entities must converge to the batch pipeline's answer."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_entity_resolution_spark.corpus import generate_files_corpus
+from healthcare_entity_resolution_spark.pipeline import resolve_files
+from healthcare_entity_resolution_spark.plans.snapshots import SnapshotStore
+from healthcare_entity_resolution_spark.streaming import (
+    incremental_resolution_stream,
+    micro_batch_resolve,
+)
+
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf, _ = generate_files_corpus(n_entities=30, seed=11)
+    return spark.createDataFrame(pdf[COLS])
+
+
+def _norm_assign(df):
+    """Component ids are min member ids — directly comparable."""
+    return sorted(map(tuple, df.select("id", "component_id").collect()))
+
+
+def test_micro_batches_converge_to_batch_answer(spark, corpus, tmp_path):
+    run_dir = str(tmp_path / "stream_state")
+    store = SnapshotStore(spark, run_dir)
+
+    # split the corpus into 3 waves by hash of path (deterministic)
+    wave = F.abs(F.xxhash64("repo", "path", "commit")) % 3
+    waves = [corpus.where(wave == i) for i in range(3)]
+    for w in waves:
+        stats = micro_batch_resolve(spark, w, store)
+        assert stats["new_files"] > 0
+
+    batch = resolve_files(spark, corpus)
+    assert _norm_assign(store.load("assignments")) == _norm_assign(
+        batch["assignments"]
+    )
+
+    # replay idempotence: feeding wave 0 again changes nothing
+    before = _norm_assign(store.load("assignments"))
+    stats = micro_batch_resolve(spark, waves[0], store)
+    assert stats["new_files"] == 0
+    assert _norm_assign(store.load("assignments")) == before
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def test_readstream_available_now(spark, corpus, tmp_path):
+    in_dir = str(tmp_path / "drops")
+    run_dir = str(tmp_path / "state")
+    corpus.limit(40).write.mode("overwrite").parquet(in_dir)
+
+    q = incremental_resolution_stream(spark, in_dir, run_dir)
+    q.awaitTermination(300)
+    store = SnapshotStore(spark, run_dir)
+    assert store.exists("assignments")
+    n = store.load("assignments").count()
+    assert n == 40
+    shutil.rmtree(run_dir, ignore_errors=True)
