@@ -840,6 +840,78 @@ def q_g13_cluster_quality(spark, sf):
     )
 
 
+def q_p8_affiliation(spark, sf):
+    """P8: 'Facility, City, ST' comma-split with 2-char state heuristic
+    (reference etl/normalizer.py:145-153), over a derived affiliation
+    string."""
+    c = _t(spark, sf, "customer")
+    aff = F.concat_ws(
+        ", ",
+        F.concat(F.lit("FAC "), (F.col("c_custkey") % 50).cast("string")),
+        F.concat(F.lit("CITY"), (F.col("c_custkey") % 9).cast("string")),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("IL")).otherwise(F.lit("OHIO")),
+    )
+    parts = F.split(aff, ", ")
+    last = F.element_at(parts, -1)
+    state = F.when(F.length(last) == 2, last)
+    return c.select(
+        "c_custkey",
+        F.element_at(parts, 1).alias("facility"),
+        F.element_at(parts, 2).alias("city"),
+        state.alias("state"),
+    )
+
+
+def q_j3_map_join(spark, sf):
+    """J3: map raw event endpoints through an id->canonical mapping with two
+    broadcast joins, dropping unresolved rows and self-loops
+    (reference pipeline.py:114-120)."""
+    e = _t(spark, sf, "events")
+    mapping = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") % 2 == 0)  # half the ids resolve
+        .select(F.col("c_custkey").alias("raw_id"),
+                F.concat(F.lit("ENT_"), (F.col("c_custkey") % 97).cast("string"))
+                .alias("canonical_id"))
+    )
+    src_m = mapping.withColumnRenamed("raw_id", "user_id").withColumnRenamed(
+        "canonical_id", "src")
+    dst = (F.col("event_id") % 1500).alias("dst_raw")
+    dst_m = mapping.withColumnRenamed("raw_id", "dst_raw").withColumnRenamed(
+        "canonical_id", "dst")
+    return (
+        e.select("event_id", "user_id", dst)
+        .join(F.broadcast(src_m), "user_id")
+        .join(F.broadcast(dst_m), "dst_raw")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst").agg(F.count("*").alias("n"))
+    )
+
+
+def q_g6_conflict_pruning(spark, sf):
+    """G6 demo (NOT registered in queries(): the iterative CC-per-round
+    fixpoint costs minutes of fixed job overhead at toy scale — covered by
+    tests/test_pruning_canonical.py instead): conflict pruning on a derived
+    graph whose consecutive-custkey edges span nation boundaries."""
+    from healthcare_entity_resolution_spark.operators import pruning as P
+
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 300)
+    a = c.select(F.col("c_custkey").alias("k1"), F.col("c_nationkey").alias("n1"))
+    b = c.select(F.col("c_custkey").alias("k2"))
+    edges = (
+        a.join(b, F.col("k2") == F.col("k1") + 1)
+        .select(
+            F.col("k1").cast("string").alias("id_1"),
+            F.col("k2").cast("string").alias("id_2"),
+            (0.5 + (F.col("k1") % 40) / 100.0).alias("weight"),
+        )
+    )
+    ids = c.select(F.col("c_custkey").cast("string").alias("id"),
+                   F.col("c_nationkey").cast("string").alias("auth_id"))
+    pruned = P.prune_id_conflicts(edges, ids)
+    return pruned.select("id_1", "id_2", F.floor(F.col("weight") * 1e6).alias("w_micro"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_project_filter": q_s1_scan,
@@ -890,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash16": q_dedup_simhash16,
         "emb_ann_sign_lsh": q_emb_ann_lsh,
         "multimodal_binary_meta": q_multimodal_meta,
+        "p8_affiliation_parse": q_p8_affiliation,
+        "j3_canonical_map_join": q_j3_map_join,
         "n2_pagerank": q_n2_pagerank,
         "n3_referral_metrics": q_n3_referral_metrics,
         "n5_colleague_merge": q_n5_colleague_merge,
@@ -1363,6 +1437,27 @@ def oracle_sql() -> dict[str, str]:
             " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             " sha256(text) AS sha256 FROM documents"
         ),
+        "p8_affiliation_parse": (
+            "SELECT c_custkey, "
+            " string_split(aff, ', ')[1] AS facility, "
+            " string_split(aff, ', ')[2] AS city, "
+            " CASE WHEN length(string_split(aff, ', ')[-1]) = 2 "
+            "  THEN string_split(aff, ', ')[-1] END AS state "
+            "FROM (SELECT c_custkey, 'FAC ' || CAST(c_custkey % 50 AS VARCHAR) || ', ' || "
+            " 'CITY' || CAST(c_custkey % 9 AS VARCHAR) || ', ' || "
+            " CASE WHEN c_custkey % 3 = 0 THEN 'IL' ELSE 'OHIO' END AS aff FROM customer)"
+        ),
+        "j3_canonical_map_join": (
+            "WITH m AS (SELECT c_custkey AS raw_id, "
+            "  'ENT_' || CAST(c_custkey % 97 AS VARCHAR) AS canonical_id "
+            " FROM customer WHERE c_custkey % 2 = 0) "
+            "SELECT a.canonical_id AS src, b.canonical_id AS dst, count(*) AS n "
+            "FROM events e JOIN m a ON e.user_id = a.raw_id "
+            "JOIN m b ON e.event_id % 1500 = b.raw_id "
+            "WHERE a.canonical_id != b.canonical_id GROUP BY 1, 2"
+        ),
+        # g6_conflict_pruning: no oracle — iterative edge-removal fixpoint
+        # (rows-only check)
         # n2_pagerank: no oracle — iterative fixpoint (rows-only check)
         "n3_referral_metrics": (
             "WITH e AS (SELECT user_id AS src, event_id % 50 AS dst, "
