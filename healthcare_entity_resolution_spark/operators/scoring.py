@@ -250,15 +250,42 @@ def score_physician_pairs(
                        *[F.col(c).alias(f"{c}_2") for c in cols])
     dec = pairs.join(a, "id_1").join(b, "id_2")
 
+    _STRIP = str.maketrans("", "", "'- ")
+
     def name_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             t0 = time.perf_counter()
-            last = [
-                _last_sim(x, y) for x, y in zip(pdf["name_last_1"], pdf["name_last_2"])
-            ]
-            first = [
-                _first_sim(x, y) for x, y in zip(pdf["name_first_1"], pdf["name_first_2"])
-            ]
+            n_rows = len(pdf)
+            # F4 batched: strip '/-/space + upper, missing -> 0.0, exact ->
+            # 1.0, else JW — the JW part runs through the vectorized kernel
+            la = [x.upper().strip().translate(_STRIP) if x else None
+                  for x in pdf["name_last_1"]]
+            lb = [y.upper().strip().translate(_STRIP) if y else None
+                  for y in pdf["name_last_2"]]
+            lmask = [bool(a and b) for a, b in zip(la, lb)]
+            last = np.zeros(n_rows)
+            idx = [i for i, ok in enumerate(lmask) if ok]
+            if idx:
+                last[idx] = strsim.jaro_winkler_batch(
+                    [la[i] for i in idx], [lb[i] for i in idx]
+                )
+            # F3 batched: missing -> 0.5 neutral, exact -> 1.0 (batch),
+            # single-initial prefix -> 0.8 override, else JW
+            fa = [x.upper().strip() if x else None for x in pdf["name_first_1"]]
+            fb = [y.upper().strip() if y else None for y in pdf["name_first_2"]]
+            first = np.full(n_rows, 0.5)
+            fidx = [i for i in range(n_rows) if fa[i] and fb[i]]
+            if fidx:
+                first[fidx] = strsim.jaro_winkler_batch(
+                    [fa[i] for i in fidx], [fb[i] for i in fidx]
+                )
+                for i in fidx:
+                    a, b = fa[i], fb[i]
+                    if a != b and (
+                        (len(a) == 1 and b.startswith(a))
+                        or (len(b) == 1 and a.startswith(b))
+                    ):
+                        first[i] = 0.8
             spec = pd.array(
                 [
                     _specialty_fuzzy(x, y)
