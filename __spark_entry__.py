@@ -912,6 +912,27 @@ def q_g6_conflict_pruning(spark, sf):
     return pruned.select("id_1", "id_2", F.floor(F.col("weight") * 1e6).alias("w_micro"))
 
 
+def q_g12_graph_diagnostics(spark, sf):
+    """G12 (rows-only): per-component bridges / articulation points /
+    cohesion via networkx inside applyInPandas — small same-nation chains
+    derived from customer."""
+    from healthcare_entity_resolution_spark.operators.components import (
+        connected_components,
+    )
+    from healthcare_entity_resolution_spark.operators.graph import (
+        component_graph_diagnostics,
+    )
+
+    edges = _cust_matches(spark, sf).where(F.col("id_1").cast("int") < 300)
+    e = edges.withColumnRenamed("overall_score", "weight")
+    assign = connected_components(e)
+    out = component_graph_diagnostics(e, assign)
+    return out.select(
+        "component_id", "n_nodes", "n_bridges", "n_articulation",
+        F.floor(F.col("cohesion") * 1e6).alias("cohesion_micro"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_project_filter": q_s1_scan,
@@ -964,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": q_multimodal_meta,
         "p8_affiliation_parse": q_p8_affiliation,
         "j3_canonical_map_join": q_j3_map_join,
+        "g12_graph_diagnostics": q_g12_graph_diagnostics,
         "n2_pagerank": q_n2_pagerank,
         "n3_referral_metrics": q_n3_referral_metrics,
         "n5_colleague_merge": q_n5_colleague_merge,

@@ -77,19 +77,25 @@ def connected_components(
         F.col(src) != F.col(dst)
     ).distinct()
 
-    prev: DataFrame | None = None
+    prev_sig: tuple | None = None
     cur = _checkpoint(e)
     for it in range(cfg.cc_max_iterations):
-        nxt = _small_star(_large_star(cur)).checkpoint(eager=True)
-        n_new = nxt.count()
-        if prev is not None:
-            # converged when the (deduped) edge set is stable
-            if n_new == prev[1] and nxt.join(prev[0], ["u", "v"], "left_anti").limit(1).count() == 0:
-                cur = nxt
-                lineage.log("cc.converged", iterations=it + 1, star_edges=n_new)
-                break
-        prev = (nxt, n_new)
+        nxt = _checkpoint(_small_star(_large_star(cur)))
+        # convergence = stable edge set, detected with ONE aggregation:
+        # (count, order-independent hash-sum) — replaces the earlier
+        # count + anti-join pair of jobs per iteration
+        row = nxt.agg(
+            F.count("*").alias("n"),
+            # decimal(38) accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
         cur = nxt
+        if sig == prev_sig:
+            lineage.log("cc.converged", iterations=it + 1, star_edges=sig[0])
+            break
+        prev_sig = sig
     else:
         lineage.log("cc.max_iterations_hit", iterations=cfg.cc_max_iterations)
 

@@ -28,6 +28,17 @@ def test_oracle_parity(spark, con, sf_small, name):
     assert ok, msg
 
 
+@pytest.mark.parametrize(
+    "name", sorted(set(E.queries()) - set(E.oracle_sql()))
+)
+def test_rows_only_queries_run(spark, sf_small, name):
+    """Queries without a SQL oracle (iterative / soundex) still must run
+    and return a stable schema — the driver records a rows-only check."""
+    df = E.queries()[name](spark, sf_small)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()
