@@ -424,9 +424,17 @@ def _cust_assignments(spark, sf):
 # --- P3: path/name tokenizer ------------------------------------------------
 
 def q_p3_tokenize(spark, sf):
+    # tokens serialized with concat_ws: the driver's oracle canonicalizer
+    # sorts with pandas, and Python lists are unhashable (ArrayType columns
+    # break the hash compare).  The operator API keeps ArrayType; only the
+    # oracle-facing query serializes.
     p = _t(spark, sf, "part")
     toks = F.sort_array(F.array_distinct(F.split(F.lower(F.col("p_name")), r"\s+")))
-    return p.select("p_partkey", toks.alias("tokens"), F.size(toks).alias("n_tokens"))
+    return p.select(
+        "p_partkey",
+        F.concat_ws("|", toks).alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )
 
 
 # --- P5: geocode with prefix fallback ---------------------------------------
@@ -578,9 +586,13 @@ def q_k3_survivorship(spark, sf):
     )
 
     ents = canonical_entities(_cust_records(spark, sf), _cust_assignments(spark, sf))
+    # all_facilities is ArrayType in the operator API; serialize for the
+    # driver's pandas-based canonicalizer (lists are unhashable there).
     return ents.select(
         "canonical_id", "component_id", "npi", "name", "specialty",
-        "primary_facility", "city", "state", "all_facilities", "source_count",
+        "primary_facility", "city", "state",
+        F.concat_ws("|", "all_facilities").alias("all_facilities"),
+        "source_count",
     )
 
 
@@ -622,8 +634,9 @@ def q_a6_mode_priority(spark, sf):
 
 def q_a7_collect_distinct(spark, sf):
     c = _t(spark, sf, "customer")
+    # serialized (not ArrayType) for the driver's pandas canonicalizer
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments")
+        F.concat_ws("|", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments")
     )
 
 
@@ -812,6 +825,9 @@ def q_n5_colleague_merge(spark, sf):
 
 
 def q_n2_pagerank(spark, sf):
+    # fixed_iter=20 makes the power iteration deterministic so the DuckDB
+    # recursive-CTE oracle can replay it exactly; floor micro-units avoid
+    # engine-specific round() tie-breaking.
     from healthcare_entity_resolution_spark.operators import network as NW
 
     e = _t(spark, sf, "events").select(
@@ -819,8 +835,8 @@ def q_n2_pagerank(spark, sf):
     ).where(F.col("src") != F.col("dst")).groupBy("src", "dst").agg(
         F.count("*").alias("referral_count")
     )
-    out = NW.pagerank(e)
-    return out.select("id", F.round("pagerank", 6).alias("pagerank"))
+    out = NW.pagerank(e, fixed_iter=20)
+    return out.select("id", F.floor(F.col("pagerank") * 1e6).alias("pr_micro"))
 
 
 def q_g13_cluster_quality(spark, sf):
@@ -933,6 +949,80 @@ def q_g12_graph_diagnostics(spark, sf):
     )
 
 
+_SPECIALTY_CYCLE = [
+    "PEDIATRICS", "GERIATRICS", "OBSTETRICS", "UROLOGY",
+    "PEDIATRIC MEDICINE", "CARDIOLOGY", None,
+]
+
+
+def q_g11_overmatch(spark, sf):
+    """G11 (overmatching.py:10-97): per-cluster overmatch flags including the
+    incompatible-specialty check; specialties synthesized from custkey so
+    both sides of the incompatible groups land in each nation-cluster."""
+    from healthcare_entity_resolution_spark.operators import graph as GR
+
+    spec = F.element_at(
+        F.array(*[F.lit(s).cast("string") for s in _SPECIALTY_CYCLE]),
+        (F.col("source_id").cast("int") % 7 + 1).cast("int"),
+    )
+    recs = _cust_records(spark, sf).withColumn("specialty", spec)
+    edges = _cust_matches(spark, sf).withColumnRenamed("overall_score", "weight")
+    assign = _cust_assignments(spark, sf)
+    quality = GR.cluster_quality(recs, edges, assign)
+    out = GR.detect_overmatching(quality, records=recs, assignments=assign)
+    return out.select(
+        "component_id", "size",
+        F.concat_ws("|", "overmatch_flags").alias("flags"),
+    )
+
+
+def q_f10_names_match_fuzzy(spark, sf):
+    """F10 (etl/name_parser.py:186-220): boolean fuzzy name compatibility as
+    a pure column expression — three variants exercising the exact-first,
+    single-initial, and missing-first branches."""
+    from healthcare_entity_resolution_spark.operators.normalize import (
+        names_match_fuzzy,
+    )
+
+    p = _t(spark, sf, "part")
+    w = F.split("p_name", " ")
+    base = p.select(
+        "p_partkey",
+        F.element_at(w, 1).alias("f"),
+        F.element_at(w, -1).alias("l"),
+    )
+    a = base.select(F.col("p_partkey").alias("k"), F.col("f").alias("f1"),
+                    F.col("l").alias("l1"))
+    b = base.select((F.col("p_partkey") - 1).alias("k"), F.col("f").alias("f2"),
+                    F.col("l").alias("l2"))
+    j = a.join(b, "k")
+    return j.select(
+        F.col("k").alias("p_partkey"),
+        names_match_fuzzy(F.col("f1"), F.col("l1"),
+                          F.col("f2"), F.col("l2")).alias("match_neighbor"),
+        names_match_fuzzy(F.col("f1"), F.col("l1"),
+                          F.substring("f1", 1, 1), F.col("l1")).alias("match_initial"),
+        names_match_fuzzy(F.col("f1"), F.col("l1"),
+                          F.lit(None).cast("string"), F.col("l1")).alias("match_nofirst"),
+    )
+
+
+def q_g12_split_suggestions(spark, sf):
+    """G12 splits (rows-only: bridge-finding is not SQL-expressible): weak
+    bridges removed per component, resulting parts exploded to rows."""
+    from healthcare_entity_resolution_spark.operators.components import (
+        connected_components,
+    )
+    from healthcare_entity_resolution_spark.operators.graph import (
+        suggest_cluster_splits,
+    )
+
+    edges = _cust_matches(spark, sf).where(F.col("id_1").cast("int") < 300)
+    e = edges.withColumnRenamed("overall_score", "weight")
+    assign = connected_components(e)
+    return suggest_cluster_splits(e, assign, threshold=0.6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_project_filter": q_s1_scan,
@@ -986,6 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_affiliation_parse": q_p8_affiliation,
         "j3_canonical_map_join": q_j3_map_join,
         "g12_graph_diagnostics": q_g12_graph_diagnostics,
+        "g11_overmatch_flags": q_g11_overmatch,
+        "g12_split_suggestions": q_g12_split_suggestions,
+        "f10_names_match_fuzzy": q_f10_names_match_fuzzy,
         "n2_pagerank": q_n2_pagerank,
         "n3_referral_metrics": q_n3_referral_metrics,
         "n5_colleague_merge": q_n5_colleague_merge,
@@ -1136,7 +1229,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "p3_tokenize": (
             "SELECT p_partkey, "
-            " list_sort(list_distinct(string_split_regex(lower(p_name), '\\s+'))) AS tokens, "
+            " array_to_string(list_sort(list_distinct("
+            "  string_split_regex(lower(p_name), '\\s+'))), '|') AS tokens, "
             " len(list_distinct(string_split_regex(lower(p_name), '\\s+'))) AS n_tokens "
             "FROM part"
         ),
@@ -1154,7 +1248,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM cc LEFT JOIN dim d ON cc.zip = d.code "
             "LEFT JOIN coarse co ON substr(cc.zip, 1, 1) = co.p"
         ),
-        # b3_soundex_blocking: no oracle — DuckDB has no soundex (rows-only check)
+        # b3_soundex_blocking: DuckDB has no soundex() builtin, so the oracle
+        # implements American Soundex (same US_ENGLISH_MAPPING + h/w rule as
+        # Spark's F.soundex) with translate + list_reduce:
+        #   map letters to digits (H/W->7), collapse adjacent dups treating 7
+        #   as transparent, drop the first-consonant code, strip vowels (0),
+        #   pad to 4.  Verified vs the published truth table
+        #   (ROBERT=R163, ASHCRAFT=A261, TYMCZAK=T522, PFISTER=P236).
+        "b3_soundex_blocking": (
+            "WITH w AS (SELECT upper(string_split(p_name, ' ')[1]) AS word, "
+            "  p_brand FROM part), "
+            "sx AS (SELECT p_brand, "
+            "  substr(substr(word, 1, 1) || replace(substr("
+            "   list_reduce(string_split(translate(word, "
+            "     'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202'), ''), "
+            "    (acc, c) -> CASE WHEN c = '7' THEN acc "
+            "     WHEN right(acc, 1) = c THEN acc ELSE acc || c END), "
+            "   CASE WHEN translate(substr(word, 1, 1), 'AEIOUY', '000000') = '0' "
+            "    THEN 1 ELSE 2 END), '0', '') || '000', 1, 4) AS sdx "
+            " FROM w) "
+            "SELECT sdx || '|' || p_brand AS block_key, count(*) AS n "
+            "FROM sx GROUP BY 1 HAVING count(*) >= 2"
+        ),
         "b4_block_first_initial": (
             "SELECT block_key, count(*) AS n FROM ("
             " SELECT string_split(p_name, ' ')[-1] || '|' || "
@@ -1264,7 +1379,8 @@ def oracle_sql() -> dict[str, str]:
             "   (PARTITION BY component_id ORDER BY count(*) DESC, trim(facility_state)) AS rn "
             "  FROM rec WHERE facility_state IS NOT NULL GROUP BY 1, 2) WHERE rn = 1), "
             "base AS (SELECT component_id, count(*) AS source_count, "
-            "  list_sort(list(DISTINCT trim(facility_name))) AS all_facilities, "
+            "  array_to_string(list_sort(list(DISTINCT trim(facility_name))), '|') "
+            "   AS all_facilities, "
             "  min(source_id) AS min_sid FROM rec GROUP BY component_id) "
             "SELECT CASE WHEN np.npi IS NOT NULL THEN 'PHY_' || np.npi "
             "  ELSE 'PHY_' || substr(sha256(b.min_sid), 1, 12) END AS canonical_id, "
@@ -1276,6 +1392,71 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN fac_pick fp USING (component_id) "
             "LEFT JOIN city_pick cp USING (component_id) "
             "LEFT JOIN state_pick stp USING (component_id)"
+        ),
+        "g11_overmatch_flags": (
+            "WITH rec0 AS (" + _CUST_REC_SQL + "), "
+            "rec AS (SELECT * REPLACE (CASE CAST(source_id AS INT) % 7 "
+            "  WHEN 0 THEN 'PEDIATRICS' WHEN 1 THEN 'GERIATRICS' "
+            "  WHEN 2 THEN 'OBSTETRICS' WHEN 3 THEN 'UROLOGY' "
+            "  WHEN 4 THEN 'PEDIATRIC MEDICINE' WHEN 5 THEN 'CARDIOLOGY' "
+            "  ELSE NULL END AS specialty) FROM rec0), "
+            "stats AS (SELECT component_id, count(*) AS size, "
+            "  count(DISTINCT npi) AS npi_count, "
+            "  count(DISTINCT facility_state) AS state_count "
+            " FROM rec GROUP BY 1), "
+            "masks AS (SELECT component_id, "
+            "  CAST(contains(specialty, 'PEDIATRICS') AS INT) "
+            "   + 2 * CAST(contains(specialty, 'GERIATRICS') AS INT) AS m0, "
+            "  CAST(contains(specialty, 'OBSTETRICS') AS INT) "
+            "   + 2 * CAST(contains(specialty, 'UROLOGY') AS INT) AS m1, "
+            "  CAST(contains(specialty, 'DERMATOLOGY') AS INT) "
+            "   + 2 * CAST(contains(specialty, 'CARDIOLOGY') AS INT) AS m2, "
+            "  CAST(contains(specialty, 'PSYCHIATRY') AS INT) "
+            "   + 2 * CAST(contains(specialty, 'ORTHOPEDIC SURGERY') AS INT) AS m3, "
+            "  CAST(contains(specialty, 'OPHTHALMOLOGY') AS INT) "
+            "   + 2 * CAST(contains(specialty, 'GASTROENTEROLOGY') AS INT) AS m4 "
+            " FROM rec WHERE specialty IS NOT NULL), "
+            "spec AS (SELECT component_id, "
+            "  count(DISTINCT CASE WHEN m0 > 0 THEN m0 END) > 1 "
+            "  OR count(DISTINCT CASE WHEN m1 > 0 THEN m1 END) > 1 "
+            "  OR count(DISTINCT CASE WHEN m2 > 0 THEN m2 END) > 1 "
+            "  OR count(DISTINCT CASE WHEN m3 > 0 THEN m3 END) > 1 "
+            "  OR count(DISTINCT CASE WHEN m4 > 0 THEN m4 END) > 1 AS conflict "
+            " FROM masks GROUP BY 1), "
+            "flagged AS (SELECT s.component_id, s.size, concat_ws('|', "
+            "  CASE WHEN s.npi_count > 1 THEN 'npi_conflict' END, "
+            "  CASE WHEN s.size > 50 THEN 'very_large' END, "
+            "  CASE WHEN s.size > 20 AND s.size <= 50 THEN 'large' END, "
+            "  CASE WHEN coalesce(sp.conflict, false) THEN 'specialty_conflict' END, "
+            "  CASE WHEN s.state_count > 3 THEN 'geographic_spread' END) AS flags "
+            " FROM stats s LEFT JOIN spec sp USING (component_id)) "
+            "SELECT component_id, size, flags FROM flagged WHERE flags != ''"
+        ),
+        # g12_split_suggestions: no oracle — bridge finding (rows-only)
+        "f10_names_match_fuzzy": (
+            "WITH base AS (SELECT p_partkey, string_split(p_name, ' ')[1] AS f, "
+            "  string_split(p_name, ' ')[-1] AS l FROM part), "
+            "j AS (SELECT a.p_partkey AS k, a.f AS f1, a.l AS l1, "
+            "  b.f AS f2, b.l AS l2 FROM base a "
+            " JOIN base b ON b.p_partkey = a.p_partkey + 1) "
+            "SELECT k AS p_partkey, "
+            " CASE WHEN coalesce(l1, '') = '' OR coalesce(l2, '') = '' THEN false "
+            "  WHEN translate(upper(l1), '''- ', '') != translate(upper(l2), '''- ', '') "
+            "   THEN false "
+            "  WHEN coalesce(f1, '') != '' AND coalesce(f2, '') != '' THEN "
+            "   (upper(f1) = upper(f2) "
+            "    OR (length(f1) = 1 AND starts_with(upper(f2), upper(f1))) "
+            "    OR (length(f2) = 1 AND starts_with(upper(f1), upper(f2)))) "
+            "  ELSE true END AS match_neighbor, "
+            " CASE WHEN coalesce(l1, '') = '' THEN false "
+            "  WHEN coalesce(f1, '') != '' THEN "
+            "   (upper(f1) = upper(substr(f1, 1, 1)) "
+            "    OR (length(f1) = 1) "
+            "    OR (length(substr(f1, 1, 1)) = 1 "
+            "        AND starts_with(upper(f1), upper(substr(f1, 1, 1))))) "
+            "  ELSE true END AS match_initial, "
+            " CASE WHEN coalesce(l1, '') = '' THEN false ELSE true END AS match_nofirst "
+            "FROM j"
         ),
         "k4_entity_confidence": (
             "WITH rec AS (" + _CUST_REC_SQL + "), m AS (" + _CUST_MATCH_SQL + "), "
@@ -1321,7 +1502,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders GROUP BY o_custkey, o_orderpriority) WHERE rn = 1"
         ),
         "a7_collect_distinct_sorted": (
-            "SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments "
+            "SELECT c_nationkey, "
+            " array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments "
             "FROM customer GROUP BY c_nationkey"
         ),
         "text_language_id": (
@@ -1480,7 +1662,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         # g6_conflict_pruning: no oracle — iterative edge-removal fixpoint
         # (rows-only check)
-        # n2_pagerank: no oracle — iterative fixpoint (rows-only check)
+        # n2_pagerank: DuckDB recursive-CTE replay of the 20-iteration power
+        # method (dangling mass as uniform edges; zero-weight self-loops keep
+        # every node in each iteration's working table).  Verified to agree
+        # with a numpy replay of the Spark loop to ~1e-16.
+        "n2_pagerank": (
+            "WITH RECURSIVE "
+            "e0 AS (SELECT user_id AS src, event_id % 50 AS dst, "
+            "  CAST(count(*) AS DOUBLE) AS w FROM events "
+            "  WHERE user_id != event_id % 50 GROUP BY 1, 2), "
+            "nodes AS (SELECT DISTINCT id FROM "
+            "  (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)), "
+            "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+            "outw AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY src), "
+            "norm AS (SELECT e0.src, e0.dst, e0.w / outw.ow AS p "
+            "  FROM e0 JOIN outw USING (src)), "
+            "dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e0)), "
+            "ee AS (SELECT src, dst, p FROM norm "
+            "  UNION ALL SELECT d.id, nd.id, 1.0 / (SELECT n FROM cnt) "
+            "   FROM dang d CROSS JOIN nodes nd "
+            "  UNION ALL SELECT id, id, 0.0 FROM nodes), "
+            "pr(iter, id, rank) AS ("
+            "  SELECT 0, id, 1.0 / (SELECT n FROM cnt) FROM nodes "
+            "  UNION ALL "
+            "  SELECT min(pr.iter) + 1, ee.dst, "
+            "   0.15 / (SELECT n FROM cnt) + 0.85 * sum(ee.p * pr.rank) "
+            "  FROM pr JOIN ee ON ee.src = pr.id "
+            "  WHERE pr.iter < 20 GROUP BY ee.dst) "
+            "SELECT id, CAST(floor(rank * 1e6) AS BIGINT) AS pr_micro "
+            "FROM pr WHERE iter = 20"
+        ),
         "n3_referral_metrics": (
             "WITH e AS (SELECT user_id AS src, event_id % 50 AS dst, "
             "  count(*) AS referral_count FROM events "

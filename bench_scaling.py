@@ -170,8 +170,9 @@ def main() -> None:
              / results[lo]["pairs_scored_per_sec"]) / (hi / lo), 3)
 
     windows = {}
-    for lo, hi in ((1, 4), (4, 16)):
-        if lo in results and hi in results:
+    for lo in sorted(results):
+        hi = lo * 4
+        if hi in results:
             windows[f"{lo}to{hi}"] = {"scaling_efficiency": eff(lo, hi)}
     summary = {
         "metric": "scoring_throughput_scaling_Nto4N",

@@ -86,7 +86,10 @@ def cosine_topk_arrow(
 
 
 def sign_bucket(vec_col, n_planes: int = 4):
-    """Axis-aligned sign-LSH bucket id: bit i = sign(vec[i])."""
+    """Axis-aligned sign-LSH bucket id: bit i = sign(vec[i]).  Kept for the
+    portable/oracle queries; :func:`random_hyperplanes` +
+    :func:`projected_bucket` is the production path (axis signs depend
+    entirely on the distribution of the first dims)."""
     bits = [
         F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(n_planes)
@@ -97,30 +100,129 @@ def sign_bucket(vec_col, n_planes: int = 4):
     return out
 
 
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
+    """Seeded Gaussian random projections (Charikar sign-LSH): (n_planes,
+    dim), unit rows, deterministic for a given (dim, n_planes, seed)."""
+    rng = np.random.default_rng(seed)
+    p = rng.standard_normal((n_planes, dim))
+    return p / np.linalg.norm(p, axis=1, keepdims=True)
+
+
+def auto_n_planes(n_rows: int, target_bucket_rows: int = 4096) -> int:
+    """Bucket-count sizing: 2^n_planes ~ corpus/target so expected bucket
+    occupancy stays ~target regardless of corpus size (fixes the round-1
+    toy default of 16 buckets at any scale)."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return 4
+    return max(4, math.ceil(math.log2(n_rows / target_bucket_rows)))
+
+
+def projected_bucket(vec_col, planes: np.ndarray):
+    """Bucket id from sign bits of ``planes @ v`` — one Arrow-batched numpy
+    matmul; the bucket id is a plain long you can partition / Z-ORDER the
+    table by at scale."""
+    p = planes.astype(np.float64)
+    weights = (1 << np.arange(p.shape[0])).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        bits = (m @ p.T) >= 0
+        return pd.Series(bits @ weights)
+
+    return bucket(vec_col)
+
+
+def table_buckets(vec_col, planes_per_table: list[np.ndarray]):
+    """One bucket id per hash table, tagged ``table_idx << 32 | bucket`` —
+    a single Arrow-batched matmul over the stacked plane matrix."""
+    stacked = np.vstack([p.astype(np.float64) for p in planes_per_table])
+    sizes = [p.shape[0] for p in planes_per_table]
+    offsets = np.cumsum([0] + sizes[:-1])
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        bits = (m @ stacked.T) >= 0
+        out = []
+        for row in bits:
+            ids = []
+            for t, (off, b) in enumerate(zip(offsets, sizes)):
+                chunk = row[off:off + b]
+                ids.append((t << 32) | int(chunk @ (1 << np.arange(b))))
+            out.append(ids)
+        return pd.Series(out)
+
+    return buckets(vec_col)
+
+
+def _query_probe_set(query_vec, planes_per_table: list[np.ndarray]) -> list[int]:
+    """Per table: the query's bucket plus every 1-bit-flip neighbor."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probes = []
+    for t, p in enumerate(planes_per_table):
+        b = p.shape[0]
+        bits = (p @ qv) >= 0
+        qb = int(bits @ (1 << np.arange(b)))
+        for cand in [qb] + [qb ^ (1 << i) for i in range(b)]:
+            probes.append((t << 32) | cand)
+    return probes
+
+
 def sign_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 13,
+    axis_planes: bool = False,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's sign bucket and every 1-bit
-    neighbor (n_planes+1 of 2^n_planes buckets), exact cosine inside."""
-    e = embeddings.select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", sign_bucket(F.col("v"), n_planes))
+    """Approximate top-k via multi-table random-hyperplane LSH: ``n_tables``
+    independent seeded plane sets; per table the query probes its bucket
+    plus every 1-bit neighbor; the candidate union is exact-cosine
+    re-ranked.  Multiple tables are the published recall lever — capture
+    is ``1-(1-p_table)^L`` — while per-table buckets stay partition-
+    prunable (bucket id is a plain long to partition / Z-ORDER by; the
+    probe filter is an IN-list the scan can push down).
 
-    qb = 0
-    for i in range(n_planes):
-        if query_vec[i] >= 0:
-            qb |= 1 << i
-    probes = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
-    probed = e.where(F.col("bucket").isin(probes))
+    ``n_planes=None`` derives bits-per-table from the corpus size (one
+    count job).  ``axis_planes=True`` is the single-table axis-sign legacy
+    mode the SQL oracle replays.
+    """
+    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    if n_planes is None:
+        n_planes = auto_n_planes(e.count())
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+
+    if axis_planes:
+        e = e.withColumn("bucket", sign_bucket(F.col("v"), n_planes))
+        qb = sum((1 << i) for i in range(n_planes) if query_vec[i] >= 0)
+        probes = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
+        probed = e.where(F.col("bucket").isin(probes))
+        return (
+            probed.select(id_col, F.round(cos, 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k)
+        )
+
+    planes_per_table = [
+        random_hyperplanes(len(query_vec), n_planes, seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    probes = _query_probe_set(query_vec, planes_per_table)
+    idx = e.select(
+        F.col(id_col),
+        F.explode(table_buckets(F.col("v"), planes_per_table)).alias("tb"),
+    )
+    cand = idx.where(F.col("tb").isin(probes)).select(id_col).distinct()
+    probed = e.join(cand, id_col, "left_semi")
     return (
         probed.select(id_col, F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -132,16 +234,26 @@ def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_lists: int = 16,
-    nprobe: int = 4,
+    n_lists: int | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
     """IVF-flat: deterministic-sample centroids, assign each vector to its
     nearest list (one broadcast of n_lists centroids), probe the nprobe
-    lists nearest the query, exact re-rank inside them."""
+    lists nearest the query, exact re-rank inside them.
+
+    ``n_lists=None`` derives the FAISS-style sqrt(N) list count from the
+    corpus size (capped so the centroid collect stays a driver-trivial
+    broadcast); ``nprobe=None`` probes ~1/8 of the lists (min 4)."""
+    import math
+
     e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    if n_lists is None:
+        n_lists = int(min(65536, max(16, math.isqrt(max(e.count(), 1)))))
+    if nprobe is None:
+        nprobe = max(4, n_lists // 8)
     # centroids: first n_lists rows by a deterministic hash order (cheap,
     # reproducible; k-means would converge better but needs iterations)
     cent_rows = (
@@ -180,13 +292,20 @@ def all_pairs_near_duplicates(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: block by sign bucket, exact cosine
     within buckets (boundary pairs in adjacent buckets are missed — the
-    standard LSH recall trade, tune n_planes down for recall up)."""
+    standard LSH recall trade, tune n_planes down for recall up).  Pass
+    ``planes`` (see :func:`random_hyperplanes`) for projection buckets
+    instead of axis signs."""
     e = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", sign_bucket(F.col("v"), n_planes))
+    )
+    if planes is not None:
+        e = e.withColumn("bucket", projected_bucket(F.col("v"), planes))
+    else:
+        e = e.withColumn("bucket", sign_bucket(F.col("v"), n_planes))
     a = e.select("bucket", F.col("id").alias("id_1"), F.col("v").alias("v1"))
     b = e.select("bucket", F.col("id").alias("id_2"), F.col("v").alias("v2"))
     pairs = a.join(b, "bucket").where(F.col("id_1") < F.col("id_2"))

@@ -149,7 +149,11 @@ def candidate_pairs(
     The keyed frame is persisted before the self-join: its lineage includes
     the MinHash pandas UDF, which would otherwise be recomputed for the
     salting statistics AND for each side of the join (4x the Arrow+Python
-    cost at scale)."""
+    cost at scale).  The deduped pair frame is checkpointed (eager) so the
+    cached block state can be unpersisted before returning — repeated calls
+    in one session no longer accumulate cached blocks."""
+    from ._ckpt import checkpoint as _checkpoint
+
     base = keyed_union.select("_id", "_bk").persist()
     keyed = _salted(base, cfg, lineage).persist()
     keyed.count()  # materialize once; frees the UDF lineage for re-use
@@ -165,7 +169,9 @@ def candidate_pairs(
         lineage.write_table(
             pairs.groupBy("_bk").agg(F.count("*").alias("pair_count")), "block_pairs"
         )
-    return pairs.select("id_1", "id_2").dropDuplicates(["id_1", "id_2"])
+    out = _checkpoint(pairs.select("id_1", "id_2").dropDuplicates(["id_1", "id_2"]))
+    keyed.unpersist(blocking=False)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -40,24 +40,6 @@ def _priority_expr(col, cfg: ResolutionConfig):
     return expr
 
 
-def _mode_pick(df: DataFrame, value_col: str, out_col: str) -> DataFrame:
-    """Most-common non-null value per component (Counter.most_common(1)
-    analog); ties break by value asc — deterministic."""
-    cnt = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy("component_id", value_col)
-        .agg(F.count("*").alias("_n"))
-    )
-    w = W.partitionBy("component_id").orderBy(
-        F.col("_n").desc(), F.col(value_col).asc()
-    )
-    return (
-        cnt.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("component_id", F.col(value_col).alias(out_col))
-    )
-
-
 def canonical_entities(
     records: DataFrame,
     assignments: DataFrame,
@@ -65,85 +47,104 @@ def canonical_entities(
 ) -> DataFrame:
     """K1+K3: one canonical row per component over normalized physician-shaped
     records ``(source_id, source, npi, name_raw, specialty, facility_name,
-    facility_city, facility_state)``."""
-    rec = records.join(
-        assignments.withColumnRenamed("id", "source_id"), "source_id"
-    ).withColumn("_prio", _priority_expr(F.col("source"), cfg))
+    facility_city, facility_state)``.
 
-    valid_npi = F.when(
-        F.col("npi").rlike("^[0-9]{10}$"), F.col("npi")
-    ).otherwise(F.lit(None))
-    rec = rec.withColumn("_vnpi", valid_npi)
-
-    # K1: mode of valid NPIs (ids.py:42-58)
-    npi_pick = _mode_pick(rec.withColumn("npi", F.col("_vnpi")), "npi", "npi")
-
-    # name: argmax by (priority desc, length desc, name asc)  (merge.py:111-124)
-    wn = W.partitionBy("component_id").orderBy(
-        F.col("_prio").desc(), F.length("name_raw").desc(), F.col("name_raw").asc()
-    )
-    name_pick = (
-        rec.where(F.col("name_raw").isNotNull())
-        .withColumn("_rn", F.row_number().over(wn))
-        .where(F.col("_rn") == 1)
-        .select("component_id", F.col("name_raw").alias("name"))
-    )
-
-    # specialty: most-common normalized key, then highest-priority raw version
-    # (merge.py:127-144)
-    spec = rec.where(F.col("specialty").isNotNull()).withColumn(
-        "_k", F.upper(F.trim("specialty"))
-    )
-    key_cnt = spec.groupBy("component_id", "_k").agg(F.count("*").alias("_n"))
-    wk = W.partitionBy("component_id").orderBy(F.col("_n").desc(), F.col("_k").asc())
-    best_key = key_cnt.withColumn("_rn", F.row_number().over(wk)).where(
-        F.col("_rn") == 1
-    ).select("component_id", "_k")
-    wv = W.partitionBy("component_id").orderBy(F.col("_prio").desc(), F.col("specialty").asc())
-    spec_pick = (
-        spec.join(best_key, ["component_id", "_k"])
-        .withColumn("_rn", F.row_number().over(wv))
-        .where(F.col("_rn") == 1)
-        .select("component_id", "specialty")
+    Plan shape (the 100 TB-safe version of survivorship): ONE hash shuffle on
+    ``component_id``, then every field pick is a window over that same
+    partitioning — ``HashPartitioning(component_id)`` satisfies the
+    ``ClusteredDistribution`` of every ``(component_id, value)`` window, so
+    Catalyst inserts local sorts but no further Exchange — and a single
+    ``groupBy(component_id)`` collapses the winning rows.  Replaces the
+    round-1 design of six ``F.broadcast(pick)`` joins, which was O(#components)
+    driver memory (would OOM at 10^8+ entities).
+    """
+    rec = (
+        records.join(assignments.withColumnRenamed("id", "source_id"), "source_id")
+        .withColumn("_prio", _priority_expr(F.col("source"), cfg))
+        .withColumn(
+            "_vnpi",
+            F.when(F.col("npi").rlike("^[0-9]{10}$"), F.col("npi")),
+        )
+        .withColumn("_sk", F.upper(F.trim("specialty")))
+        .withColumn("_f", F.trim("facility_name"))
+        .withColumn("_city", F.trim("facility_city"))
+        .withColumn("_state", F.trim("facility_state"))
+        .repartition("component_id")  # the one shuffle
     )
 
-    # facility: count desc, then max-priority desc  (merge.py:147-170)
-    fac = rec.where(F.col("facility_name").isNotNull()).withColumn(
-        "_f", F.trim("facility_name")
-    )
-    fac_cnt = fac.groupBy("component_id", "_f").agg(
-        F.count("*").alias("_n"), F.max("_prio").alias("_p")
-    )
-    wf = W.partitionBy("component_id").orderBy(
-        F.col("_n").desc(), F.col("_p").desc(), F.col("_f").asc()
-    )
-    fac_pick = fac_cnt.withColumn("_rn", F.row_number().over(wf)).where(
-        F.col("_rn") == 1
-    ).select("component_id", F.col("_f").alias("primary_facility"))
+    def grp_count(value_col: str):
+        # per-(component, value) frequency; null for null values so
+        # desc_nulls_last ordering never elects a null
+        return F.when(
+            F.col(value_col).isNotNull(),
+            F.count("*").over(W.partitionBy("component_id", value_col)),
+        )
 
-    city_pick = _mode_pick(rec.withColumn("facility_city", F.trim("facility_city")),
-                           "facility_city", "city")
-    state_pick = _mode_pick(rec.withColumn("facility_state", F.trim("facility_state")),
-                            "facility_state", "state")
+    rec = (
+        rec.withColumn("_c_npi", grp_count("_vnpi"))
+        .withColumn("_c_sk", grp_count("_sk"))
+        .withColumn("_c_f", grp_count("_f"))
+        .withColumn(
+            "_p_f",
+            F.when(
+                F.col("_f").isNotNull(),
+                F.max("_prio").over(W.partitionBy("component_id", "_f")),
+            ),
+        )
+        .withColumn("_c_city", grp_count("_city"))
+        .withColumn("_c_state", grp_count("_state"))
+    )
 
-    base = rec.groupBy("component_id").agg(
+    comp = W.partitionBy("component_id")
+    rank_of = {
+        # K1: mode of valid NPIs, ties by value asc (ids.py:42-58)
+        "_rn_npi": comp.orderBy(
+            F.col("_c_npi").desc_nulls_last(), F.col("_vnpi").asc_nulls_last()
+        ),
+        # name: argmax (priority desc, length desc, name asc)  (merge.py:111-124)
+        "_rn_name": comp.orderBy(
+            F.when(F.col("name_raw").isNotNull(), F.col("_prio")).desc_nulls_last(),
+            F.length("name_raw").desc_nulls_last(),
+            F.col("name_raw").asc_nulls_last(),
+        ),
+        # specialty: most-common normalized key, then highest-priority raw
+        # version within that key  (merge.py:127-144)
+        "_rn_spec": comp.orderBy(
+            F.col("_c_sk").desc_nulls_last(),
+            F.col("_sk").asc_nulls_last(),
+            F.when(F.col("specialty").isNotNull(), F.col("_prio")).desc_nulls_last(),
+            F.col("specialty").asc_nulls_last(),
+        ),
+        # facility: count desc, then max-priority desc  (merge.py:147-170)
+        "_rn_f": comp.orderBy(
+            F.col("_c_f").desc_nulls_last(),
+            F.col("_p_f").desc_nulls_last(),
+            F.col("_f").asc_nulls_last(),
+        ),
+        "_rn_city": comp.orderBy(
+            F.col("_c_city").desc_nulls_last(), F.col("_city").asc_nulls_last()
+        ),
+        "_rn_state": comp.orderBy(
+            F.col("_c_state").desc_nulls_last(), F.col("_state").asc_nulls_last()
+        ),
+    }
+    for name, win in rank_of.items():
+        rec = rec.withColumn(name, F.row_number().over(win))
+
+    def winner(rank_col: str, value_col: str):
+        return F.max(F.when(F.col(rank_col) == 1, F.col(value_col)))
+
+    out = rec.groupBy("component_id").agg(
         F.count("*").alias("source_count"),
-        F.sort_array(F.collect_set(F.trim("facility_name"))).alias("all_facilities"),
+        F.sort_array(F.collect_set("_f")).alias("all_facilities"),
         F.sort_array(F.collect_set("source_id")).alias("source_records"),
         F.min("source_id").alias("_min_sid"),
-    )
-
-    # each pick is exactly one row per component — broadcast them against
-    # the base aggregate instead of six sort-merge shuffles (plan audited in
-    # PLANS.md; at 10^9 entities switch to a single shuffle by pre-uniting
-    # the picks on component_id)
-    out = (
-        base.join(F.broadcast(npi_pick), "component_id", "left")
-        .join(F.broadcast(name_pick), "component_id", "left")
-        .join(F.broadcast(spec_pick), "component_id", "left")
-        .join(F.broadcast(fac_pick), "component_id", "left")
-        .join(F.broadcast(city_pick), "component_id", "left")
-        .join(F.broadcast(state_pick), "component_id", "left")
+        winner("_rn_npi", "_vnpi").alias("npi"),
+        winner("_rn_name", "name_raw").alias("name"),
+        winner("_rn_spec", "specialty").alias("specialty"),
+        winner("_rn_f", "_f").alias("primary_facility"),
+        winner("_rn_city", "_city").alias("city"),
+        winner("_rn_state", "_state").alias("state"),
     )
     canonical_id = F.when(
         F.col("npi").isNotNull(), F.concat(F.lit("PHY_"), F.col("npi"))

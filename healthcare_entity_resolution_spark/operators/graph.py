@@ -125,14 +125,74 @@ def cluster_quality(
     )
 
 
-def detect_overmatching(quality: DataFrame,
-                        cfg: ResolutionConfig = DEFAULT_CONFIG) -> DataFrame:
-    """G11 (graph/overmatching.py:10-97): heuristic flags per cluster."""
+# Specialty pairs with different training paths — a cluster containing both
+# sides of a pair is likely overmatched (overmatching.py:77-88).
+INCOMPATIBLE_SPECIALTY_GROUPS: list[tuple[str, str]] = [
+    ("PEDIATRICS", "GERIATRICS"),
+    ("OBSTETRICS", "UROLOGY"),
+    ("DERMATOLOGY", "CARDIOLOGY"),
+    ("PSYCHIATRY", "ORTHOPEDIC SURGERY"),
+    ("OPHTHALMOLOGY", "GASTROENTEROLOGY"),
+]
+
+
+def specialty_conflicts(records: DataFrame, assignments: DataFrame) -> DataFrame:
+    """G11 specialty check (overmatching.py:74-97): per component, true iff
+    two records' specialties hit DIFFERENT sides of an incompatible group.
+
+    Distributed form of the reference's pairwise substring scan: each record
+    gets a per-group membership mask (1 = contains term A only, 2 = term B
+    only, 3 = both); a component conflicts on a group iff it holds >1
+    distinct non-zero mask — exactly the reference's ``matches1 and matches2
+    and matches1 != matches2`` for a two-term group, with no pair explosion.
+    """
+    rec = records.join(
+        assignments.withColumnRenamed("id", "source_id"), "source_id"
+    ).where(F.col("specialty").isNotNull()).withColumn(
+        "_s", F.upper(F.trim("specialty"))
+    )
+    aggs = []
+    for i, (a, b) in enumerate(INCOMPATIBLE_SPECIALTY_GROUPS):
+        mask = (
+            F.col("_s").contains(a).cast("int")
+            + F.col("_s").contains(b).cast("int") * 2
+        )
+        rec = rec.withColumn(f"_m{i}", mask)
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col(f"_m{i}") > 0, F.col(f"_m{i}"))
+            ).alias(f"_g{i}")
+        )
+    agg = rec.groupBy("component_id").agg(*aggs)
+    conflict = F.lit(False)
+    for i in range(len(INCOMPATIBLE_SPECIALTY_GROUPS)):
+        conflict = conflict | (F.col(f"_g{i}") > 1)
+    return agg.select("component_id", conflict.alias("specialty_conflict"))
+
+
+def detect_overmatching(
+    quality: DataFrame,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    records: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """G11 (graph/overmatching.py:10-97): heuristic flags per cluster.
+    Pass ``records`` + ``assignments`` to enable the incompatible-specialty
+    check (the reference's check #3)."""
+    if records is not None and assignments is not None:
+        sc = specialty_conflicts(records, assignments)
+        quality = quality.join(sc, "component_id", "left").withColumn(
+            "specialty_conflict", F.coalesce("specialty_conflict", F.lit(False))
+        )
+    else:
+        quality = quality.withColumn("specialty_conflict", F.lit(False))
     flags = F.array_compact(
         F.array(
             F.when(F.col("npi_conflict"), F.lit("npi_conflict")),
+            # reference uses if/elif: >50 emits only very_large
             F.when(F.col("size") > 50, F.lit("very_large")),
-            F.when(F.col("size") > 20, F.lit("large")),
+            F.when((F.col("size") > 20) & (F.col("size") <= 50), F.lit("large")),
+            F.when(F.col("specialty_conflict"), F.lit("specialty_conflict")),
             F.when(F.col("state_count") > 3, F.lit("geographic_spread")),
         )
     )
@@ -178,3 +238,47 @@ def component_graph_diagnostics(
         )
 
     return e.groupBy("component_id").applyInPandas(diag, schema=GRAPH_DIAG_SCHEMA)
+
+
+SPLIT_SCHEMA = "component_id string, split_part int, id string"
+
+
+def suggest_cluster_splits(
+    edges: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """G12 (overmatching.py:137-156): remove weak bridges (< threshold) per
+    component and emit the resulting parts as rows ``(component_id,
+    split_part, id)`` — the exploded form of the reference's list-of-sets.
+
+    Runs networkx per component inside ``applyInPandas``; components are
+    bounded by G7's max_cluster_size so each group is a tiny in-memory
+    graph.  Parts are numbered by ascending min member id (deterministic).
+    Components with no weak bridge yield a single part 0.
+    """
+    e = edges.join(
+        assignments.select(F.col("id").alias("id_1"), "component_id"), "id_1"
+    ).select("component_id", "id_1", "id_2", "weight")
+
+    def splits(pdf: pd.DataFrame) -> pd.DataFrame:
+        import networkx as nx
+
+        g = nx.Graph()
+        for r in pdf.itertuples():
+            g.add_edge(str(r.id_1), str(r.id_2), weight=r.weight)
+        weak = [
+            (u, v) for u, v in nx.bridges(g)
+            if g[u][v].get("weight", 0.5) < threshold
+        ]
+        g.remove_edges_from(weak)
+        comp_id = str(pdf["component_id"].iloc[0])
+        parts = sorted(nx.connected_components(g), key=min)
+        rows = [
+            {"component_id": comp_id, "split_part": i, "id": nid}
+            for i, part in enumerate(parts)
+            for nid in sorted(part)
+        ]
+        return pd.DataFrame(rows, columns=["component_id", "split_part", "id"])
+
+    return e.groupBy("component_id").applyInPandas(splits, schema=SPLIT_SCHEMA)

@@ -54,6 +54,7 @@ def pagerank(
     weight_col: str | None = "referral_count",
     src: str = "src",
     dst: str = "dst",
+    fixed_iter: int | None = None,
 ) -> DataFrame:
     """N2 (influence.py:14-50): PageRank alpha=0.85 over the referral graph.
 
@@ -61,6 +62,10 @@ def pagerank(
     ``rank = (1-alpha)/n + alpha * (sum of incoming rank*w + dangling/n)``
     with checkpoints every few iterations to truncate lineage.  L1-tolerance
     stop mirrors networkx's power iteration (tol * n).
+
+    ``fixed_iter`` runs exactly that many power iterations with no
+    convergence check (skips one driver collect per iteration) — the
+    deterministic mode the DuckDB recursive-CTE oracle replays.
     """
     alpha, tol = cfg.pagerank_alpha, cfg.pagerank_tol
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
@@ -79,7 +84,8 @@ def pagerank(
     ).persist()
 
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
-    for it in range(cfg.pagerank_max_iter):
+    n_iter = fixed_iter if fixed_iter is not None else cfg.pagerank_max_iter
+    for it in range(n_iter):
         # dangling mass: rank held by nodes with no out-edges
         dangling = (
             ranks.join(out_w.select(F.col("src").alias("id")), "id", "left_anti")
@@ -99,6 +105,9 @@ def pagerank(
         )
         if (it + 1) % max(cfg.checkpoint_every, 1) == 0:
             new_ranks = _checkpoint(new_ranks)
+        if fixed_iter is not None:
+            ranks = new_ranks
+            continue
         delta = (
             new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "id")
             .agg(F.sum(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]
@@ -108,7 +117,7 @@ def pagerank(
             lineage.log("pagerank.converged", iterations=it + 1, delta=float(delta))
             break
     else:
-        lineage.log("pagerank.max_iterations_hit", iterations=cfg.pagerank_max_iter)
+        lineage.log("pagerank.max_iterations_hit", iterations=n_iter)
 
     nodes.unpersist()
     norm.unpersist()

@@ -138,6 +138,36 @@ def standardized_name() -> F.Column:
     )
 
 
+def names_match_fuzzy(first1, last1, first2, last2) -> F.Column:
+    """F10 (etl/name_parser.py:186-220): quick boolean "might be the same
+    person" over PARSED name columns — pure JVM expression, no Python.
+
+    Semantics mirrored exactly: missing/empty last on either side -> False;
+    stripped ('-/space removed, uppercased) last names must be equal; if both
+    first names present: exact or single-initial prefix -> True else False;
+    any missing first name -> True.
+    """
+    strip = lambda c: F.translate(F.upper(c), "'- ", "")  # noqa: E731
+    last_present = (F.coalesce(last1, F.lit("")) != "") & (
+        F.coalesce(last2, F.lit("")) != ""
+    )
+    f1, f2 = F.upper(first1), F.upper(first2)
+    both_first = (F.coalesce(first1, F.lit("")) != "") & (
+        F.coalesce(first2, F.lit("")) != ""
+    )
+    first_ok = (
+        (f1 == f2)
+        | ((F.length(f1) == 1) & f2.startswith(f1))
+        | ((F.length(f2) == 1) & f1.startswith(f2))
+    )
+    return (
+        F.when(~last_present, F.lit(False))
+        .when(strip(last1) != strip(last2), F.lit(False))
+        .when(both_first, first_ok)
+        .otherwise(F.lit(True))
+    )
+
+
 def valid_npi(col: F.Column) -> F.Column:
     """P7 (normalizer.py:48-49): malformed NPIs (len≠10, non-digit) -> NULL."""
     return F.when(col.rlike(r"^[0-9]{10}$"), col).otherwise(F.lit(None))

@@ -51,14 +51,49 @@ def prune_low_confidence_edges(edges: DataFrame, threshold: float) -> DataFrame:
 
 
 def _weakest_edge_per_component(edges_in_comp: DataFrame) -> DataFrame:
-    """One weakest edge per component, deterministic tiebreak on ids."""
+    """One weakest edge per component, deterministic tiebreak on ids.
+    Keeps ``component_id`` so callers know which components were touched."""
     w = W.partitionBy("component_id").orderBy(
         F.col("weight").asc(), F.col("id_1"), F.col("id_2")
     )
     return (
         edges_in_comp.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select("id_1", "id_2")
+        .select("component_id", "id_1", "id_2")
+    )
+
+
+def _localized_recluster(
+    cur: DataFrame,
+    assign: DataFrame,
+    touched: DataFrame,
+    cfg: ResolutionConfig,
+    lineage: LineageLog,
+) -> DataFrame:
+    """Re-run connected components ONLY over the components in ``touched``
+    (single column ``component_id``) and splice the new sub-assignments into
+    ``assign``.
+
+    Edge removal can only SPLIT a component, never merge two, and
+    component_id = min member id in both the global and the sub-graph run —
+    so untouched components keep their assignment verbatim and the spliced
+    result is identical to a full re-run.  At scale this is the difference
+    between O(affected) and O(corpus) work per pruning iteration.
+    """
+    sub_nodes = assign.join(touched, "component_id", "left_semi").select("id")
+    sub_edges = cur.join(
+        sub_nodes.withColumnRenamed("id", "id_1"), "id_1", "left_semi"
+    ).select("id_1", "id_2")
+    sub_assign = connected_components(
+        sub_edges, vertices=sub_nodes, cfg=cfg, lineage=lineage
+    )
+    # the USING join moves component_id to the front — select explicitly so
+    # the union cannot silently swap (id, component_id)
+    untouched = assign.join(touched, "component_id", "left_anti").select(
+        "id", "component_id"
+    )
+    return _checkpoint(
+        untouched.unionByName(sub_assign.select("id", "component_id"))
     )
 
 
@@ -76,9 +111,12 @@ def prune_id_conflicts(
     two different ids, or exactly one endpoint carrying an id.
     """
     cur = edges.select(*_EDGE_COLS)
+    # one full CC up front; every later iteration re-clusters ONLY the
+    # components an edge was removed from (untouched components keep their
+    # assignment — O(affected) not O(corpus) per iteration)
+    assign = connected_components(cur.select("id_1", "id_2"), cfg=cfg)
     removed_total = 0
     for it in range(max_iterations):
-        assign = connected_components(cur.select("id_1", "id_2"), cfg=cfg)
         node = assign.join(node_ids, "id", "left")
         conflicted = (
             node.where(F.col("auth_id").isNotNull())
@@ -97,14 +135,14 @@ def prune_id_conflicts(
         qual = (
             cur.join(a1, "id_1")
             .join(a2, "id_2")
-            .join(F.broadcast(conflicted), "component_id", "left_semi")
+            .join(conflicted, "component_id", "left_semi")
             .where(
                 (F.col("aid_1").isNotNull() & F.col("aid_2").isNotNull()
                  & (F.col("aid_1") != F.col("aid_2")))
                 | (F.col("aid_1").isNotNull() != F.col("aid_2").isNotNull())
             )
         )
-        to_remove = _weakest_edge_per_component(qual)
+        to_remove = _checkpoint(_weakest_edge_per_component(qual))
         n_removed = to_remove.count()
         if n_removed == 0:
             # conflicted components held together only by id-less edges;
@@ -114,7 +152,13 @@ def prune_id_conflicts(
                         edges_removed=removed_total, unresolvable=True)
             return cur
         removed_total += n_removed
-        cur = _checkpoint(cur.join(to_remove, ["id_1", "id_2"], "left_anti"))
+        cur = _checkpoint(
+            cur.join(to_remove.select("id_1", "id_2"), ["id_1", "id_2"], "left_anti")
+        )
+        touched = to_remove.select("component_id").distinct()
+        lineage.log("prune.recluster", scope="id_conflicts",
+                    components_touched=n_removed)
+        assign = _localized_recluster(cur, assign, touched, cfg, lineage)
     lineage.log("prune.id_conflicts", iterations=max_iterations,
                 edges_removed=removed_total, max_iterations_hit=True)
     return cur
@@ -129,9 +173,11 @@ def prune_oversized_clusters(
     """G7: split components larger than ``cfg.max_cluster_size`` by removing
     the weakest edge per oversized component per iteration."""
     cur = edges.select(*_EDGE_COLS)
+    # full CC once; afterwards only the components that lost an edge are
+    # re-clustered (see _localized_recluster)
+    assign = connected_components(cur.select("id_1", "id_2"), cfg=cfg)
     removed_total = 0
     for it in range(max_iterations):
-        assign = connected_components(cur.select("id_1", "id_2"), cfg=cfg)
         oversized = (
             assign.groupBy("component_id").agg(F.count("*").alias("n"))
             .where(F.col("n") > cfg.max_cluster_size)
@@ -142,10 +188,21 @@ def prune_oversized_clusters(
             return cur
         in_comp = cur.join(
             assign.withColumnRenamed("id", "id_1"), "id_1"
-        ).join(F.broadcast(oversized), "component_id", "left_semi")
-        to_remove = _weakest_edge_per_component(in_comp)
-        removed_total += to_remove.count()
-        cur = _checkpoint(cur.join(to_remove, ["id_1", "id_2"], "left_anti"))
+        ).join(oversized, "component_id", "left_semi")
+        to_remove = _checkpoint(_weakest_edge_per_component(in_comp))
+        n_removed = to_remove.count()
+        if n_removed == 0:  # oversized but edgeless cannot happen; safety
+            lineage.log("prune.oversized", iterations=it + 1,
+                        edges_removed=removed_total, unresolvable=True)
+            return cur
+        removed_total += n_removed
+        cur = _checkpoint(
+            cur.join(to_remove.select("id_1", "id_2"), ["id_1", "id_2"], "left_anti")
+        )
+        touched = to_remove.select("component_id").distinct()
+        lineage.log("prune.recluster", scope="oversized",
+                    components_touched=n_removed)
+        assign = _localized_recluster(cur, assign, touched, cfg, lineage)
     lineage.log("prune.oversized", iterations=max_iterations,
                 edges_removed=removed_total, max_iterations_hit=True)
     return cur
@@ -175,7 +232,10 @@ def prune_weak_bridges(
     def weak_bridges(pdf: pd.DataFrame) -> pd.DataFrame:
         import networkx as nx
 
-        if len(pdf) < 2:  # ≤2-node components have no removable bridges
+        # reference skips clusters of <=2 NODES (pruning.py:147); for a
+        # connected component <=1 edge <=> <=2 nodes, so the edge-count
+        # guard is exactly equivalent
+        if len(pdf) < 2:
             return pd.DataFrame(columns=["id_1", "id_2"])
         g = nx.Graph()
         for r in pdf.itertuples():

@@ -256,25 +256,29 @@ def score_physician_pairs(
         for pdf in batches:
             t0 = time.perf_counter()
             n_rows = len(pdf)
-            # F4 batched: strip '/-/space + upper, missing -> 0.0, exact ->
-            # 1.0, else JW — the JW part runs through the vectorized kernel
-            la = [x.upper().strip().translate(_STRIP) if x else None
-                  for x in pdf["name_last_1"]]
-            lb = [y.upper().strip().translate(_STRIP) if y else None
-                  for y in pdf["name_last_2"]]
-            lmask = [bool(a and b) for a, b in zip(la, lb)]
+            # F4 batched — mirrors the scalar _last_sim exactly, including
+            # degenerate names: missing is decided on the RAW value (so "'"
+            # vs "'" strips to ""=="" -> 1.0 via the kernel's equality check,
+            # and "" vs "X" -> 0.0 via its empty check), then strip
+            # '/-/space + upper and run the vectorized JW kernel.
+            raw_l1, raw_l2 = pdf["name_last_1"], pdf["name_last_2"]
+            la = [x.upper().strip().translate(_STRIP) if x else None for x in raw_l1]
+            lb = [y.upper().strip().translate(_STRIP) if y else None for y in raw_l2]
             last = np.zeros(n_rows)
-            idx = [i for i, ok in enumerate(lmask) if ok]
+            idx = [i for i, (a, b) in enumerate(zip(raw_l1, raw_l2)) if a and b]
             if idx:
                 last[idx] = strsim.jaro_winkler_batch(
                     [la[i] for i in idx], [lb[i] for i in idx]
                 )
-            # F3 batched: missing -> 0.5 neutral, exact -> 1.0 (batch),
-            # single-initial prefix -> 0.8 override, else JW
-            fa = [x.upper().strip() if x else None for x in pdf["name_first_1"]]
-            fb = [y.upper().strip() if y else None for y in pdf["name_first_2"]]
+            # F3 batched — mirrors _first_sim: missing (RAW falsy) -> 0.5
+            # neutral, stripped-exact -> 1.0 (kernel), single-initial
+            # prefix -> 0.8 override, whitespace-only -> 0.0 (kernel empty
+            # check), else JW
+            raw_f1, raw_f2 = pdf["name_first_1"], pdf["name_first_2"]
+            fa = [x.upper().strip() if x else None for x in raw_f1]
+            fb = [y.upper().strip() if y else None for y in raw_f2]
             first = np.full(n_rows, 0.5)
-            fidx = [i for i in range(n_rows) if fa[i] and fb[i]]
+            fidx = [i for i, (a, b) in enumerate(zip(raw_f1, raw_f2)) if a and b]
             if fidx:
                 first[fidx] = strsim.jaro_winkler_batch(
                     [fa[i] for i in fidx], [fb[i] for i in fidx]

@@ -11,10 +11,13 @@ resolves each micro-batch against the accumulated corpus via
    keyed corpus — an incremental candidate generation that never re-pairs
    old-vs-old;
 4. score + classify the new pairs;
-5. merge new match edges into the edge snapshot and re-run connected
-   components (the min-id CC is incremental-friendly: old assignments are a
-   valid starting point, so convergence is fast when batches are small);
-6. commit updated snapshots atomically (SnapshotStore).
+5. merge new match edges into the edge snapshot and update assignments
+   INCREMENTALLY: committed components are contracted to single nodes and
+   connected components runs over the contracted batch graph only —
+   per-batch clustering cost is O(batch edges), not O(corpus);
+6. commit updated snapshots atomically (SnapshotStore) — files last, so a
+   crash mid-batch replays the whole batch against the pre-batch file set
+   (every other commit is idempotent under that replay).
 
 Watermarks/session windows are unnecessary: file identity is keyed by
 (repo, path, commit) — late arrivals are just new rows; exactly-once comes
@@ -57,13 +60,24 @@ def micro_batch_resolve(
     else:
         old_files, all_files = None, new_files
     all_files = all_files.persist()
+    new_files = new_files.persist()
     n_new = new_files.count()
 
-    # incremental blocking: NEW keys vs ALL keys (never old-vs-old)
+    # incremental blocking: NEW keys vs ALL keys (never old-vs-old).  The
+    # keyed (_id, _bk) frame is itself a committed snapshot: the MinHash
+    # pandas UDF runs over the BATCH only — per-batch key cost is
+    # O(batch), not O(corpus).
     new_keys = B.code_file_block_keys(new_files, cfg).select("_id", "_bk")
-    all_keys = B.code_file_block_keys(all_files, cfg).select("_id", "_bk")
+    all_keys = (
+        store.load("keys").unionByName(new_keys)
+        if store.exists("keys") else new_keys
+    )
+    all_keys = store.commit(all_keys, "keys")  # re-read: UDF ran exactly once
+    new_key_side = all_keys.join(
+        new_files.select(F.col("file_id").alias("_id")), "_id", "left_semi"
+    )
     cand = (
-        new_keys.withColumnRenamed("_id", "id_new")
+        new_key_side.withColumnRenamed("_id", "id_new")
         .join(all_keys.withColumnRenamed("_id", "id_any"), "_bk")
         .where(F.col("id_new") != F.col("id_any"))
         .select(
@@ -78,7 +92,7 @@ def micro_batch_resolve(
     )
     new_matches = C.confirmed_matches(
         C.classify(scored, cfg, authoritative_col="auth"), cfg
-    ).select("id_1", "id_2")
+    ).select("id_1", "id_2").persist()
     n_pairs = new_matches.count()
 
     edges = (
@@ -86,15 +100,53 @@ def micro_batch_resolve(
         if store.exists("edges") else new_matches
     )
     edges = store.commit(edges, "edges")
-    assignments = G.connected_components(
-        edges, vertices=all_files.select(F.col("file_id").alias("id")),
-        cfg=cfg, lineage=lineage,
-    )
+
+    # incremental CC: contract committed components to single nodes and run
+    # CC over the CONTRACTED batch graph only — O(batch) edges, not
+    # O(corpus).  Valid because edge addition can only MERGE components,
+    # old component ids are min member ids, and min over merged components
+    # is the min of their contracted ids; untouched components (absent from
+    # the contracted graph) keep their assignment verbatim.
+    if store.exists("assignments"):
+        old_assign = store.load("assignments")
+        m1 = old_assign.select(F.col("id").alias("id_1"), F.col("component_id").alias("_c1"))
+        m2 = old_assign.select(F.col("id").alias("id_2"), F.col("component_id").alias("_c2"))
+        contracted = (
+            new_matches.join(m1, "id_1", "left").join(m2, "id_2", "left")
+            .select(
+                F.coalesce("_c1", F.col("id_1")).alias("id_1"),
+                F.coalesce("_c2", F.col("id_2")).alias("id_2"),
+            )
+        )
+        merge_map = G.connected_components(contracted, cfg=cfg, lineage=lineage)
+        remap = merge_map.select(
+            F.col("id").alias("component_id"), F.col("component_id").alias("_new_c")
+        )
+        carried = old_assign.join(remap, "component_id", "left").select(
+            "id", F.coalesce("_new_c", F.col("component_id")).alias("component_id")
+        )
+        fresh = (
+            new_files.select(F.col("file_id").alias("id"))
+            # replay guard: a crash between the assignments and files commits
+            # replays the batch with assignments already updated — without
+            # this anti-join those ids would appear twice
+            .join(old_assign.select("id"), "id", "left_anti")
+            .join(merge_map.withColumnRenamed("component_id", "_new_c"), "id", "left")
+            .select("id", F.coalesce("_new_c", F.col("id")).alias("component_id"))
+        )
+        assignments = carried.unionByName(fresh)
+    else:
+        assignments = G.connected_components(
+            edges, vertices=all_files.select(F.col("file_id").alias("id")),
+            cfg=cfg, lineage=lineage,
+        )
     store.commit(assignments, "assignments")
     store.commit(all_files, "files")
     n_entities = store.load("assignments").select("component_id").distinct().count()
     lineage.log("stream.batch", new_files=n_new, new_match_pairs=n_pairs,
                 entities=n_entities)
+    for df in (new_matches, new_files, all_files):
+        df.unpersist(blocking=False)
     return {"new_files": n_new, "new_pairs": n_pairs, "total_entities": n_entities}
 
 

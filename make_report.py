@@ -1,0 +1,29 @@
+#!/usr/bin/env python3
+"""Render a self-contained HTML report from a committed run directory
+(the engine's analog of the reference's Streamlit dashboard) — no Spark
+needed; duckdb reads the parquet snapshots.
+
+    python make_report.py --run-dir /runs/run1 [--out report.html]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from healthcare_entity_resolution_spark.plans.report_html import (
+        report_from_run_dir,
+    )
+
+    path = report_from_run_dir(args.run_dir, args.out)
+    print(path)
+
+
+if __name__ == "__main__":
+    main()

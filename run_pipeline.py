@@ -48,8 +48,20 @@ def main() -> None:
 
     out = resumable_resolve_files(spark, raw, args.output, lineage=lineage)
     n = out["assignments"].count()
+
+    from healthcare_entity_resolution_spark.plans.report_html import (
+        write_run_report,
+    )
+
+    report = write_run_report(
+        os.path.join(args.output, "report.html"),
+        assignments=out["assignments"],
+        classified=out["classified"],
+        lineage_events=lineage.events,
+    )
     summary = {"assignments": n,
                "output": args.output,
+               "report": report,
                "stages": [e["stage"] for e in lineage.events]}
     print(json.dumps(summary))
 

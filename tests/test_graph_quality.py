@@ -1,0 +1,100 @@
+"""G11–G13 graph quality / overmatch diagnostics (SURVEY.md §2.8).
+
+Mirrors the reference's overmatching semantics
+(/root/reference/src/physician_resolution/graph/overmatching.py):
+incompatible-specialty pairs, if/elif size flags, weak-bridge split
+suggestions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_entity_resolution_spark.operators import graph as GR
+from healthcare_entity_resolution_spark.operators.components import (
+    connected_components,
+)
+
+
+def _records(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "source_id string, source string, npi string, specialty string, "
+        "facility_state string",
+    )
+
+
+def _assign(spark, pairs):
+    return spark.createDataFrame(pairs, "id string, component_id string")
+
+
+def test_specialty_conflicts(spark):
+    rows = [
+        # c1: PEDIATRICS vs GERIATRICS -> conflict
+        ("a", "cms", None, "PEDIATRICS", "IL"),
+        ("b", "cms", None, "GERIATRICS", "IL"),
+        # c2: both PEDIATRICS (same side) -> no conflict
+        ("c", "cms", None, "PEDIATRICS", "IL"),
+        ("d", "cms", None, "PEDIATRIC MEDICINE", "IL"),
+        # c3: unrelated specialties -> no conflict
+        ("e", "cms", None, "CARDIOLOGY", "IL"),
+        ("f", "cms", None, "UROLOGY", "IL"),
+        # c4: substring hit inside a longer name still conflicts
+        ("g", "cms", None, "DERMATOLOGY CLINIC", "IL"),
+        ("h", "cms", None, "INTERVENTIONAL CARDIOLOGY", "IL"),
+    ]
+    assign = _assign(spark, [
+        ("a", "c1"), ("b", "c1"), ("c", "c2"), ("d", "c2"),
+        ("e", "c3"), ("f", "c3"), ("g", "c4"), ("h", "c4"),
+    ])
+    out = {r.component_id: r.specialty_conflict
+           for r in GR.specialty_conflicts(_records(spark, rows), assign).collect()}
+    assert out == {"c1": True, "c2": False, "c3": False, "c4": True}
+
+
+def test_detect_overmatching_flags_and_elif(spark):
+    # 60-node cluster -> very_large ONLY (reference's if/elif); 25-node ->
+    # large; specialty conflict flag present when records passed
+    rows = (
+        [(f"n{i}", "cms", None, None, "IL") for i in range(60)]
+        + [(f"m{i}", "cms", None, None, "IL") for i in range(25)]
+        + [("s1", "cms", None, "PSYCHIATRY", "IL"),
+           ("s2", "cms", None, "ORTHOPEDIC SURGERY", "IL")]
+    )
+    assign = _assign(
+        spark,
+        [(f"n{i}", "big") for i in range(60)]
+        + [(f"m{i}", "mid") for i in range(25)]
+        + [("s1", "spec"), ("s2", "spec")],
+    )
+    recs = _records(spark, rows)
+    edges = spark.createDataFrame([], "id_1 string, id_2 string, weight double")
+    quality = GR.cluster_quality(recs.withColumn("source_id", F.col("source_id")),
+                                 edges, assign)
+    flags = {r.component_id: list(r.overmatch_flags)
+             for r in GR.detect_overmatching(
+                 quality, records=recs, assignments=assign).collect()}
+    assert flags["big"] == ["very_large"]
+    assert flags["mid"] == ["large"]
+    assert flags["spec"] == ["specialty_conflict"]
+
+
+def test_suggest_cluster_splits(spark):
+    # two strong triangles joined by one weak bridge -> split into 2 parts;
+    # a strong-bridge cluster stays whole
+    e = spark.createDataFrame(
+        [
+            ("a", "b", 0.9), ("b", "c", 0.9), ("a", "c", 0.9),
+            ("c", "d", 0.3),                      # weak bridge
+            ("d", "e", 0.9), ("e", "f", 0.9), ("d", "f", 0.9),
+            ("x", "y", 0.9), ("y", "z", 0.9),     # strong path: bridges, not weak
+        ],
+        "id_1 string, id_2 string, weight double",
+    )
+    assign = connected_components(e)
+    parts = GR.suggest_cluster_splits(e, assign, threshold=0.5).collect()
+    comp_a = {r.id: r.split_part for r in parts if r.component_id == "a"}
+    assert {k for k, v in comp_a.items() if v == 0} == {"a", "b", "c"}
+    assert {k for k, v in comp_a.items() if v == 1} == {"d", "e", "f"}
+    comp_x = {r.split_part for r in parts if r.component_id == "x"}
+    assert comp_x == {0}

@@ -166,3 +166,33 @@ def test_entity_and_record_confidence(spark, records, assignments):
     assert rc["r1"] == pytest.approx(0.9)                  # one edge: .6a+.4m
     assert rc["r2"] == pytest.approx(0.75 * 0.6 + 0.9 * 0.4)
     assert rc["r9"] == pytest.approx(0.8)                  # singleton
+
+
+def test_prune_id_conflicts_localized_recluster(spark):
+    """After the initial full CC, each pruning iteration re-clusters ONLY the
+    touched components: with 1 conflicted + 200 clean components the sub-CC
+    job must see a handful of edges, never the corpus (lineage-audited)."""
+    from healthcare_entity_resolution_spark.plans.lineage import LineageLog
+
+    conflict_edges = [("a", "b", 0.9), ("b", "c", 0.45), ("c", "d", 0.92)]
+    clean_edges = [(f"x{i}", f"y{i}", 0.9) for i in range(200)]
+    e = _edges(spark, conflict_edges + clean_edges)
+    ids = spark.createDataFrame(
+        [("a", "111"), ("b", "111"), ("c", "222"), ("d", "222")]
+        + [(f"x{i}", None) for i in range(200)],
+        "id string, auth_id string",
+    )
+    lin = LineageLog()
+    pruned = P.prune_id_conflicts(e, ids, lineage=lin)
+    kept = sorted((r.id_1, r.id_2) for r in pruned.collect())
+    assert ("b", "c") not in kept
+    assert ("a", "b") in kept and ("c", "d") in kept
+    assert len(kept) == 202
+
+    assert any(ev["stage"] == "prune.recluster" for ev in lin.events)
+    sub_cc = [ev for ev in lin.events if ev["stage"] == "cc.converged"]
+    assert sub_cc, "localized re-cluster must have run"
+    for ev in sub_cc:
+        # conflicted component has 4 nodes; the 200 clean components must
+        # not flow through the re-cluster
+        assert ev["star_edges"] <= 4, ev

@@ -145,3 +145,40 @@ def test_confirmed_matches_filters(spark):
     )
     out = C.confirmed_matches(C.classify(df)).collect()
     assert [(r["id_1"], r["id_2"]) for r in out] == [("a", "b")]
+
+
+def test_names_match_fuzzy_truth_table(spark):
+    """F10 vs the reference truth table (etl/name_parser.py:186-220)."""
+    from healthcare_entity_resolution_spark.operators.normalize import (
+        names_match_fuzzy,
+    )
+
+    cases = [
+        # (first1, last1, first2, last2, expected)
+        ("John", "Smith", "John", "Smith", True),      # exact
+        ("J", "Smith", "John", "Smith", True),         # initial prefix
+        ("John", "Smith", "J", "Smith", True),         # initial other side
+        ("John", "Smith", "Jane", "Smith", False),     # different firsts
+        ("John", "Smith", "John", "Jones", False),     # different lasts
+        (None, "Smith", "John", "Smith", True),        # missing first -> possible
+        ("John", "Smith", None, "Smith", True),
+        (None, "Smith", None, "Smith", True),
+        ("John", None, "John", "Smith", False),        # missing last -> False
+        ("John", "", "John", "Smith", False),          # empty last -> False
+        ("John", "O'Brien", "John", "OBRIEN", True),   # strip apostrophe
+        ("John", "Smith-Lee", "John", "SMITH LEE", True),  # strip -/space
+        ("Jo", "Smith", "John", "Smith", False),       # 2-char prefix: no
+        ("john", "smith", "JOHN", "SMITH", True),      # case-insensitive
+    ]
+    df = spark.createDataFrame(
+        [(i, f1, l1, f2, l2) for i, (f1, l1, f2, l2, _) in enumerate(cases)],
+        "i int, f1 string, l1 string, f2 string, l2 string",
+    )
+    out = df.select(
+        "i",
+        names_match_fuzzy(F.col("f1"), F.col("l1"),
+                          F.col("f2"), F.col("l2")).alias("m"),
+    ).collect()
+    got = {r["i"]: r["m"] for r in out}
+    for i, (f1, l1, f2, l2, exp) in enumerate(cases):
+        assert got[i] == exp, (f1, l1, f2, l2, exp, got[i])

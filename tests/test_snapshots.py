@@ -86,3 +86,27 @@ def test_resumable_pipeline_matches_and_resumes(spark, run_dir):
     assert flags["resume.files"] and flags["resume.pairs"] and flags["resume.classified"]
     assert not flags["resume.assignments"]
     assert sorted(map(tuple, out3["assignments"].collect())) == a1
+
+
+def test_html_run_report(spark, tmp_path):
+    """Dashboard analog: self-contained HTML report from the pipeline's
+    report aggregates (reference dashboard/app.py + pages)."""
+    from healthcare_entity_resolution_spark.plans.report_html import (
+        write_run_report,
+    )
+
+    assignments = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c2")], "id string, component_id string"
+    )
+    classified = spark.createDataFrame(
+        [("a", "b", 0.92, "match", 0.9), ("a", "c", 0.2, "non_match", 0.8)],
+        "id_1 string, id_2 string, overall_score double, decision string, "
+        "confidence double",
+    )
+    out = str(tmp_path / "report.html")
+    write_run_report(out, assignments=assignments, classified=classified,
+                     lineage_events=[{"stage": "test", "wall_time": 0, "n": 1}])
+    text = open(out).read()
+    assert "<html" in text and "Cluster size distribution" in text
+    assert "Match quality" in text and "svg" in text
+    assert "entities" in text

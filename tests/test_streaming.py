@@ -66,3 +66,28 @@ def test_readstream_available_now(spark, corpus, tmp_path):
     n = store.load("assignments").count()
     assert n == 40
     shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def test_incremental_cc_tracks_batch_size(spark, corpus, tmp_path):
+    """The contracted-CC incremental update must cluster a graph bounded by
+    the batch, not the corpus (VERDICT r1 #6)."""
+    import shutil as _sh
+
+    from healthcare_entity_resolution_spark.plans.lineage import LineageLog
+
+    run_dir = str(tmp_path / "inc_state")
+    store = SnapshotStore(spark, run_dir)
+    wave = F.abs(F.xxhash64("repo", "path", "commit")) % 4
+    micro_batch_resolve(spark, corpus.where(wave != 0), store)
+
+    lin = LineageLog()
+    stats = micro_batch_resolve(spark, corpus.where(wave == 0), store, lineage=lin)
+    assert stats["new_files"] > 0
+    cc_events = [e for e in lin.events if e["stage"] == "cc.converged"]
+    assert cc_events, "incremental CC ran"
+    total_edges = store.load("edges").count()
+    for ev in cc_events:
+        # contracted graph ~ batch matches; strictly smaller than the
+        # committed corpus edge snapshot
+        assert ev["star_edges"] < max(10, total_edges // 2), (ev, total_edges)
+    _sh.rmtree(run_dir, ignore_errors=True)

@@ -123,10 +123,38 @@ def test_ann_lsh_and_ivf_recall(spark, embeddings):
     q = [float(x) for x in q]
     rest = embeddings.where(F.col("vec_id") != 0)
     exact = [r.vec_id for r in ann.brute_force_topk(rest, q, k=10).collect()]
-    lsh = [r.vec_id for r in ann.sign_lsh_topk(rest, q, k=10, n_planes=4).collect()]
+    lsh = [r.vec_id for r in
+           ann.sign_lsh_topk(rest, q, k=10, n_planes=4, axis_planes=True).collect()]
     ivf = [r.vec_id for r in ann.ivf_topk(rest, q, k=10, n_lists=8, nprobe=4).collect()]
     assert len(set(exact) & set(lsh)) >= 5     # recall@10 >= 0.5 for approx
     assert len(set(exact) & set(ivf)) >= 5
+
+
+def test_ann_random_projection_recall(spark):
+    """Random-hyperplane LSH (the production path) recall@10 >= 0.9 averaged
+    over queries on the sf0.01 embeddings; auto-sized parameters."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    recalls = []
+    for qid in (0, 1, 2, 3, 4):
+        q = [float(x) for x in
+             emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        rest = emb.where(F.col("vec_id") != qid)
+        exact = {r.vec_id for r in ann.brute_force_topk(rest, q, k=10).collect()}
+        approx = {r.vec_id for r in
+                  ann.sign_lsh_topk(rest, q, k=10).collect()}  # auto n_planes
+        recalls.append(len(exact & approx) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ann_param_autosizing():
+    assert ann.auto_n_planes(1000) == 4
+    assert ann.auto_n_planes(4096 * 1024) == 10
+    p = ann.random_hyperplanes(64, 6, seed=13)
+    assert p.shape == (6, 64)
+    # deterministic + unit rows
+    import numpy as np
+    assert np.allclose(p, ann.random_hyperplanes(64, 6, seed=13))
+    assert np.allclose(np.linalg.norm(p, axis=1), 1.0)
 
 
 def test_multimodal_plumbing(spark):
