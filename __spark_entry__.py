@@ -689,6 +689,11 @@ def q_dedup_minhash_portable(spark, sf):
     d = _t(spark, sf, "documents")
     base = d.select(F.col("doc_id").cast("string").alias("id"),
                     _shingles(F.col("text")).alias("sh"))
+    # signatures via in-array transform: all-local whole-stage codegen, no
+    # shuffle.  (An explode -> distinct-vocab -> join -> groupBy variant that
+    # computes md5 once per distinct shingle was measured SLOWER — 29-43s vs
+    # 19s at sf0.1 — the join/groupBy shuffles cost more than the redundant
+    # codegen md5s.)
     for j in range(8):
         base = base.withColumn(
             f"m{j}",

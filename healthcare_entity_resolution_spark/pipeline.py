@@ -57,7 +57,9 @@ def resolve_files(
 
     t1 = time.perf_counter()
     keys = B.code_file_block_keys(rep_files, cfg)
-    pairs = B.candidate_pairs(keys, cfg, lineage).persist()
+    # candidate_pairs returns an eagerly checkpointed frame (materialized,
+    # lineage truncated) — no extra persist layer needed
+    pairs = B.candidate_pairs(keys, cfg, lineage)
     n_pairs = pairs.count()
     lineage.log("blocking", pairs=n_pairs, sec=time.perf_counter() - t1)
 
@@ -117,7 +119,6 @@ def resolve_files(
             F.concat(F.lit("ENT_"), F.substring("min_file_id", 1, 16)),
         )
     )
-    pairs.unpersist()
     lineage.log("pipeline.done", sec=time.perf_counter() - t0, files=n_files,
                 pairs=n_pairs, nodes=n_nodes)
     return {
