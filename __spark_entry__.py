@@ -1264,13 +1264,16 @@ def oracle_sql() -> dict[str, str]:
             "WITH w AS (SELECT upper(string_split(p_name, ' ')[1]) AS word, "
             "  p_brand FROM part), "
             "sx AS (SELECT p_brand, "
+            "  CASE WHEN NOT regexp_matches(substr(word, 1, 1), '^[A-Z]') "
+            "  THEN word ELSE "  # Spark returns the input unchanged when the
+            # first char is not a letter
             "  substr(substr(word, 1, 1) || replace(substr("
             "   list_reduce(string_split(translate(word, "
             "     'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202'), ''), "
             "    (acc, c) -> CASE WHEN c = '7' THEN acc "
             "     WHEN right(acc, 1) = c THEN acc ELSE acc || c END), "
             "   CASE WHEN translate(substr(word, 1, 1), 'AEIOUY', '000000') = '0' "
-            "    THEN 1 ELSE 2 END), '0', '') || '000', 1, 4) AS sdx "
+            "    THEN 1 ELSE 2 END), '0', '') || '000', 1, 4) END AS sdx "
             " FROM w) "
             "SELECT sdx || '|' || p_brand AS block_key, count(*) AS n "
             "FROM sx GROUP BY 1 HAVING count(*) >= 2"
