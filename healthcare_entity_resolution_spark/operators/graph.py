@@ -225,8 +225,15 @@ def component_graph_diagnostics(
         n = g.number_of_nodes()
         bridges = list(nx.bridges(g)) if n > 2 else []
         arts = list(nx.articulation_points(g)) if n > 2 else []
-        max_e = n * (n - 1) / 2
-        cohesion = g.number_of_edges() / max_e if max_e else 1.0
+        # reference cohesion (overmatching.py:164-186):
+        # 0.6 * avg edge weight + 0.4 * density; singletons -> 1.0
+        if n <= 1:
+            cohesion = 1.0
+        else:
+            ws = [d.get("weight", 0.5) for _, _, d in g.edges(data=True)]
+            max_e = n * (n - 1) / 2
+            density = len(ws) / max_e if max_e else 0.0
+            cohesion = ((sum(ws) / len(ws)) * 0.6 + density * 0.4) if ws else 0.0
         return pd.DataFrame(
             [{
                 "component_id": pdf["component_id"].iloc[0],

@@ -153,7 +153,13 @@ def score_code_pairs(
 
 NAME_SCORE_SCHEMA = (
     "id_1 string, id_2 string, name_similarity double, first_sim double, "
-    "last_sim double, specialty_fuzzy double, batch_ms double"
+    "last_sim double, specialty_fuzzy double, batch_ms double, "
+    # pass-through columns the downstream JVM expressions need — emitting
+    # them from the same Arrow stage avoids a (id_1, id_2) shuffle join of
+    # the full pair set back onto the decorated frame
+    "npi_1 string, npi_2 string, latitude_1 double, latitude_2 double, "
+    "longitude_1 double, longitude_2 double, "
+    "facility_state_1 string, facility_state_2 string"
 )
 
 _REF_SPECIALTY_CANON = {
@@ -299,20 +305,23 @@ def score_physician_pairs(
             )
             name = [l * 0.6 + f * 0.4 for l, f in zip(last, first)]  # F5
             ms = (time.perf_counter() - t0) * 1000.0
-            yield pd.DataFrame(
-                {
-                    "id_1": pdf["id_1"], "id_2": pdf["id_2"],
-                    "name_similarity": name, "first_sim": first, "last_sim": last,
-                    "specialty_fuzzy": spec, "batch_ms": [ms] * len(pdf),
-                }
-            )
+            out = {
+                "id_1": pdf["id_1"], "id_2": pdf["id_2"],
+                "name_similarity": name, "first_sim": first, "last_sim": last,
+                "specialty_fuzzy": spec, "batch_ms": [ms] * len(pdf),
+            }
+            for c in _PASSTHROUGH:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    name_scores = dec.select(
+    _PASSTHROUGH = [
+        "npi_1", "npi_2", "latitude_1", "latitude_2", "longitude_1",
+        "longitude_2", "facility_state_1", "facility_state_2",
+    ]
+    dec2 = dec.select(
         "id_1", "id_2", "name_first_1", "name_first_2", "name_last_1", "name_last_2",
-        "specialty_1", "specialty_2",
+        "specialty_1", "specialty_2", *_PASSTHROUGH,
     ).mapInPandas(name_batches, schema=NAME_SCORE_SCHEMA)
-
-    dec2 = dec.join(name_scores, ["id_1", "id_2"])
 
     # F1 — NPI tri-state, pure JVM expression (similarity.py:181-206)
     valid1 = F.col("npi_1").rlike(r"^[0-9]{10}$")
