@@ -1,0 +1,86 @@
+"""S1/P1 source loading: CSV drops with explicit schemas -> one normalized
+records frame (reference etl/loaders.py + etl/normalizer.py:37-194)."""
+
+from __future__ import annotations
+
+import os
+
+from healthcare_entity_resolution_spark.sources import (
+    RECORD_COLUMNS,
+    load_all_sources,
+    load_ground_truth,
+    normalize_all,
+)
+
+
+def _write(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def _make_drops(d):
+    _write(os.path.join(d, "cms_claims.csv"),
+           "source_id,npi,provider_name,provider_specialty,facility_name,"
+           "facility_npi,procedure_code,procedure_date,patient_id,true_physician_id\n"
+           "cms_1,1234567890,Dr. John A Smith,CARDIOLOGY,General Hospital,"
+           "111,P1,2020-01-01,pat1,T1\n"
+           "cms_2,12345678XX,Jane Jones,ONCOLOGY,Mercy,"
+           "112,P2,2020-01-02,pat2,T2\n")
+    _write(os.path.join(d, "state_licenses.csv"),
+           "source_id,license_number,physician_name,specialty,license_state,"
+           "license_status,address_line1,address_city,address_state,address_zip,"
+           "medical_school,graduation_year,true_physician_id\n"
+           "lic_1,L1,\"Smith, John\",Cardiology,IL,active,1 Main St,Chicago,IL,"
+           "60601,UIC,1999,T1\n")
+    _write(os.path.join(d, "hospital_affiliations.csv"),
+           "source_id,hospital_id,hospital_name,physician_name,department,"
+           "title,phone,email,start_date,npi,true_physician_id\n"
+           "hosp_1,H1,General Hospital,John Smith MD,Cardiology,Attending,"
+           "555,js@gh.org,2015-01-01,1234567890,T1\n")
+    _write(os.path.join(d, "publications.csv"),
+           "source_id,publication_id,title,author_name,author_position,"
+           "author_affiliation,publication_date,journal,true_physician_id\n"
+           "pub_1,PUB1,Stents,\"Smith, J\",1,\"General Hospital, Chicago, IL\","
+           "2019-05-01,NEJM,T1\n")
+    _write(os.path.join(d, "referrals.csv"),
+           "referring_npi,receiving_npi,patient_id,referral_date,"
+           "diagnosis_code,referring_true_id,receiving_true_id\n"
+           "1234567890,2234567890,pat1,2020-02-02,D1,T1,T2\n")
+    _write(os.path.join(d, "ground_truth.csv"),
+           "source_id,true_physician_id,source\ncms_1,T1,cms\n")
+
+
+def test_load_and_normalize_all(spark, tmp_path):
+    d = str(tmp_path)
+    _make_drops(d)
+    sources = load_all_sources(spark, d)
+    assert set(sources) == {"cms", "license", "hospital", "publication", "referrals"}
+    assert sources["referrals"].count() == 1
+
+    recs = normalize_all(sources)
+    assert recs.columns == RECORD_COLUMNS
+    rows = {r.source_id: r for r in recs.collect()}
+    assert len(rows) == 5
+    by_source = {r.source for r in rows.values()}
+    assert by_source == {"cms", "license", "hospital", "publication"}
+
+    cms = [r for r in rows.values() if r.source == "cms"]
+    smith = next(r for r in cms if r.specialty == "CARDIOLOGY")
+    assert smith.npi == "1234567890"
+    assert smith.name_last == "SMITH"       # parsed from 'Dr. John A Smith'
+    assert smith.name_first == "JOHN"
+    bad = next(r for r in cms if r.specialty == "ONCOLOGY")
+    assert bad.npi is None                   # 'X'-bearing NPI nulled (P7)
+
+    pub = next(r for r in rows.values() if r.source == "publication")
+    assert pub.facility_name == "General Hospital"   # P8 affiliation parse
+    assert pub.facility_city == "Chicago"
+    assert pub.facility_state == "IL"
+    assert pub.npi is None
+
+    lic = next(r for r in rows.values() if r.source == "license")
+    assert lic.facility_zip == "60601"
+    assert lic.facility_state == "IL"
+
+    gt = load_ground_truth(spark, os.path.join(d, "ground_truth.csv"))
+    assert gt.count() == 1
