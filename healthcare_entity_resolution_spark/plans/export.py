@@ -1,0 +1,134 @@
+"""Resolution-table export — the reference's persistence layer
+(``db/models/*`` + ``db/bulk.py`` + ``sql/001_create_tables.sql``) as
+atomic parquet snapshots.
+
+The reference bulk-upserts six Postgres tables; a 100 TB engine writes
+the same LOGICAL tables as Iceberg/parquet snapshots instead (the
+column shapes below mirror the DDL at sql/001_create_tables.sql:2-80):
+
+- source_records            (source, source_id, npi, name fields, ...)
+- canonical_physicians      (id, npi, name, specialty, facility, conf, ...)
+- source_canonical_mapping  (source_record_id, canonical_id, confidence, ...)
+- match_pairs               (source_id_1/2, similarity, decision, type)
+- referrals                 (referring/receiving canonical id, count, date)
+- influence_scores          (physician_id, pagerank, in/out degree)
+
+``gen_random_uuid()`` surrogate keys become deterministic content ids
+(stable across re-runs — better than UUIDs for resumable pipelines);
+``created_at`` defaults become an explicit ``exported_at`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .snapshots import SnapshotStore
+
+
+def export_resolution_tables(
+    store: SnapshotStore,
+    resolved: dict[str, DataFrame],
+) -> dict[str, int]:
+    """Write the six reference-shaped tables from a
+    :func:`~healthcare_entity_resolution_spark.pipeline.resolve_physicians`
+    result.  Missing inputs (e.g. no referrals) skip their tables.
+    Returns row counts per exported table."""
+    ts = F.current_timestamp().alias("exported_at")
+    counts: dict[str, int] = {}
+
+    def commit(df: DataFrame, name: str) -> None:
+        counts[name] = store.commit(df, name).count()
+
+    records = resolved["records"]
+    commit(
+        records.select(
+            F.sha2(F.concat_ws("\x1f", "source", "source_id"), 256)
+            .alias("id"),
+            "source", "source_id", "npi", "name_raw", "name_first",
+            "name_last", "name_middle", "specialty", "facility_name",
+            "facility_city", "facility_state", "facility_zip",
+            "latitude", "longitude", ts,
+        ),
+        "source_records",
+    )
+
+    entities = resolved["entities"]
+    commit(
+        entities.select(
+            F.col("canonical_id").alias("id"),
+            "npi", "name", "specialty", "primary_facility", "city", "state",
+            F.col("entity_confidence").alias("confidence_score"),
+            "source_count", ts,
+        ),
+        "canonical_physicians",
+    )
+
+    mapping = resolved["mapping"]
+    rc = resolved.get("record_confidence")
+    m = mapping
+    if rc is not None:
+        m = mapping.join(
+            rc.select(F.col("id").alias("source_id"),
+                      F.col("record_confidence").alias("confidence")),
+            "source_id", "left",
+        )
+    else:
+        m = m.withColumn("confidence", F.lit(None).cast("double"))
+    commit(
+        m.select(
+            F.col("source_id").alias("source_record_id"),
+            "canonical_id", "confidence", ts,
+        ),
+        "source_canonical_mapping",
+    )
+
+    classified = resolved["classified"]
+    match_type = (
+        F.col("match_type") if "match_type" in classified.columns
+        else F.lit(None).cast("string")
+    )
+    commit(
+        classified.select(
+            F.col("id_1").alias("source_id_1"),
+            F.col("id_2").alias("source_id_2"),
+            F.round("overall_score", 3).alias("similarity_score"),
+            F.col("decision").alias("match_decision"),
+            match_type.alias("match_type"),
+            ts,
+        ),
+        "match_pairs",
+    )
+
+    graph = resolved.get("referral_graph")
+    if graph is not None:
+        commit(
+            graph.select(
+                F.col("src").alias("referring_physician_id"),
+                F.col("dst").alias("receiving_physician_id"),
+                "referral_count",
+                F.col("last_referral_date"),
+                ts,
+            ),
+            "referrals",
+        )
+
+    influence = resolved.get("influence")
+    metrics = resolved.get("referral_metrics")
+    if influence is not None:
+        inf = influence.select(
+            F.col("id").alias("physician_id"),
+            F.round("pagerank", 8).alias("pagerank_score"),
+        )
+        if metrics is not None:
+            inf = inf.join(
+                metrics.select(
+                    F.col("id").alias("physician_id"),
+                    F.col("in_degree").alias("referral_in_count"),
+                    F.col("out_degree").alias("referral_out_count"),
+                ),
+                "physician_id", "left",
+            )
+        commit(inf.select("*", ts), "influence_scores")
+
+    return counts

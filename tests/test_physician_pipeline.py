@@ -121,3 +121,28 @@ def test_record_confidence_ranges(resolved):
     rc = resolved["record_confidence"].collect()
     assert len(rc) == 6
     assert all(0.0 <= r["record_confidence"] <= 1.0 for r in rc)
+
+
+def test_export_resolution_tables(spark, resolved, tmp_path):
+    """db-layer analog: the six reference-shaped tables
+    (sql/001_create_tables.sql) committed as atomic parquet snapshots."""
+    from healthcare_entity_resolution_spark.plans.export import (
+        export_resolution_tables,
+    )
+    from healthcare_entity_resolution_spark.plans.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "export"))
+    counts = export_resolution_tables(store, resolved)
+    assert counts["source_records"] == 6
+    assert counts["canonical_physicians"] == 4
+    assert counts["source_canonical_mapping"] == 6
+    assert counts["match_pairs"] >= 1
+    assert counts["referrals"] >= 1
+    assert counts["influence_scores"] >= 2
+
+    cp = store.load("canonical_physicians")
+    assert {"id", "npi", "name", "specialty", "primary_facility", "city",
+            "state", "confidence_score", "source_count",
+            "exported_at"} == set(cp.columns)
+    m = store.load("source_canonical_mapping")
+    assert m.where(F.col("confidence").isNull()).count() == 0
