@@ -1268,8 +1268,11 @@ def oracle_sql() -> dict[str, str]:
             "  THEN word ELSE "  # Spark returns the input unchanged when the
             # first char is not a letter
             "  substr(substr(word, 1, 1) || replace(substr("
-            "   list_reduce(string_split(translate(word, "
-            "     'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202'), ''), "
+            # interior non-letters behave like vowels in Spark's soundex
+            # (reset the last code): rewrite them to '!' then map '!'->'0'
+            "   list_reduce(string_split(translate("
+            "     regexp_replace(word, '[^A-Z]', '!', 'g'), "
+            "     'ABCDEFGHIJKLMNOPQRSTUVWXYZ!', '012301270224550126230172020'), ''), "
             "    (acc, c) -> CASE WHEN c = '7' THEN acc "
             "     WHEN right(acc, 1) = c THEN acc ELSE acc || c END), "
             "   CASE WHEN translate(substr(word, 1, 1), 'AEIOUY', '000000') = '0' "

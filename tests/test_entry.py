@@ -44,3 +44,34 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"entity_id", "member_count", "distinct_contents"}
+
+
+def test_soundex_oracle_property_parity(spark, con):
+    """The DuckDB soundex reimplementation must agree with Spark's JVM
+    F.soundex on adversarial inputs (interior punctuation/digits reset the
+    last code; non-letter-initial strings pass through unchanged)."""
+    import random
+    import re
+    import string
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    random.seed(7)
+    alphabet = string.ascii_uppercase + "'- 123"
+    words = ["".join(random.choice(alphabet) for _ in range(random.randint(0, 12)))
+             for _ in range(200)]
+    words += ["O'BRIEN", "SMITH-LEE", "MC DONALD", "A1B2", "1ABC", "",
+              "PFISTER", "TYMCZAK", "ASHCRAFT", "B1B", "C3PO", "HONEYMAN"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.s for r in df.select("w", F.soundex("w").alias("s")).collect()}
+
+    osql = E.oracle_sql()["b3_soundex_blocking"]
+    expr = re.search(r"CASE WHEN NOT regexp_matches.*?END AS sdx", osql,
+                     re.S).group(0).replace("word", "w").replace(" AS sdx", "")
+    c = duckdb.connect()
+    c.register("df", pd.DataFrame({"w": words}))
+    duck = dict(c.execute(f"SELECT w, {expr} FROM df").fetchall())
+    mism = [(w, got[w], duck[w]) for w in set(words) if got.get(w) != duck.get(w)]
+    assert not mism, mism[:10]
