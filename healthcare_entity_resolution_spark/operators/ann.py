@@ -286,6 +286,62 @@ def ivf_topk(
     )
 
 
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int | None = None,
+    n_tables: int = 4,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[np.ndarray]:
+    """Materialize the multi-table sign-LSH index as parquet PARTITIONED BY
+    the bucket id — the on-disk layout that makes ANN a partition-pruned
+    read at 100 TB: a query touches ``n_tables x (bits+1)`` directories out
+    of ``n_tables x 2^bits``, and the scan's PartitionFilters prove it
+    (asserted in tests).  Returns the plane matrices (regenerate them
+    anywhere with the same (dim, n_planes, seed))."""
+    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    if n_planes is None:
+        n_planes = auto_n_planes(e.count())
+    dim = len(e.select("v").first()["v"])
+    planes = [random_hyperplanes(dim, n_planes, seed + 1000 * t)
+              for t in range(n_tables)]
+    idx = e.select(
+        F.col(id_col), F.col("v"),
+        F.explode(table_buckets(F.col("v"), planes)).alias("tb"),
+    )
+    idx.write.mode("overwrite").partitionBy("tb").parquet(path)
+    return planes
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    planes_per_table: list[np.ndarray],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a :func:`build_lsh_index` layout: the ``tb IN (...)``
+    filter is a partition filter, so only the probed bucket directories are
+    read; exact cosine re-rank inside the candidate union."""
+    probes = _query_probe_set(query_vec, planes_per_table)
+    idx = spark.read.parquet(path)
+    cand = (
+        idx.where(F.col("tb").isin(probes))
+        .select(id_col, "v")
+        .dropDuplicates([id_col])
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+    return (
+        cand.select(id_col, F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def all_pairs_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

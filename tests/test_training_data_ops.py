@@ -184,3 +184,30 @@ def test_multimodal_plumbing(spark):
     vids = spark.createDataFrame([("v1", 3500)], "media_id string, dur_ms int")
     plan = M.frame_sample_plan(vids, "media_id", "dur_ms", every_ms=1000).collect()
     assert [r.frame_ts_ms for r in plan] == [0, 1000, 2000, 3000]
+
+
+def test_lsh_index_partition_pruning(spark, tmp_path):
+    """The on-disk LSH index must be read with PartitionFilters on the
+    bucket column (only probed directories scanned) and return the same
+    top-k as the in-memory multi-table path."""
+    import io
+    import contextlib
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    planes = ann.build_lsh_index(emb.where(F.col("vec_id") != 0), path,
+                                 n_planes=4, n_tables=4)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    out = ann.query_lsh_index(spark, path, q, planes, k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "tb#" in plan, plan[-2000:]
+
+    got = [r.vec_id for r in out.collect()]
+    mem = [r.vec_id for r in
+           ann.sign_lsh_topk(emb.where(F.col("vec_id") != 0), q, k=10,
+                             n_planes=4, n_tables=4).collect()]
+    assert got == mem
