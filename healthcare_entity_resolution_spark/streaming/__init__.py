@@ -2,11 +2,21 @@
 
 The reference is strictly batch (SURVEY.md §2.12); the engine's streaming
 surface exists for the corpus-pipeline reality that new files arrive
-continuously.  Design: micro-batch incremental resolution, not a bespoke
-stateful operator — each batch joins against the committed state snapshots
-and appends, which is exactly the Iceberg-ingest pattern.
+continuously.  Two complementary designs:
+
+- micro-batch incremental resolution (incremental.py): each batch joins
+  against the committed state snapshots and appends — the Iceberg-ingest
+  pattern, with contracted-component incremental clustering;
+- a custom stateful operator (stateful.py): first-seen exact dedup via
+  ``applyInPandasWithState`` — per-key managed state in the state store,
+  exactly-once across restarts via streaming checkpoints.
 """
 
 from .incremental import incremental_resolution_stream, micro_batch_resolve
+from .stateful import dedup_first_seen
 
-__all__ = ["incremental_resolution_stream", "micro_batch_resolve"]
+__all__ = [
+    "incremental_resolution_stream",
+    "micro_batch_resolve",
+    "dedup_first_seen",
+]

@@ -91,3 +91,48 @@ def test_incremental_cc_tracks_batch_size(spark, corpus, tmp_path):
         # committed corpus edge snapshot
         assert ev["star_edges"] < max(10, total_edges // 2), (ev, total_edges)
     _sh.rmtree(run_dir, ignore_errors=True)
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: state persists across
+    micro-batches (maxFilesPerTrigger=1 forces two batches); re-arrivals
+    bump occurrences with is_new=False."""
+    from healthcare_entity_resolution_spark.streaming.stateful import (
+        dedup_first_seen,
+    )
+
+    in_dir = str(tmp_path / "drops")
+    rows1 = [("f1", "shaA"), ("f2", "shaA"), ("f3", "shaB")]
+    rows2 = [("f4", "shaA"), ("f5", "shaC")]
+    spark.createDataFrame(rows1, "file_id string, content_sha string") \
+        .coalesce(1).write.parquet(in_dir + "/b1")
+    spark.createDataFrame(rows2, "file_id string, content_sha string") \
+        .coalesce(1).write.parquet(in_dir + "/b2")
+
+    stream = (
+        spark.readStream.schema("file_id string, content_sha string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    out = dedup_first_seen(stream)
+    q = (
+        out.writeStream.format("memory").queryName("first_seen")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql("SELECT * FROM first_seen").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.content_sha, []).append(r)
+    # shaA seen in both batches: final occurrences 3, first_id stable f1,
+    # exactly one is_new=True emission
+    a = sorted(by_key["shaA"], key=lambda r: r.occurrences)
+    assert a[-1].occurrences == 3
+    assert all(r.first_id == "f1" for r in a)
+    assert sum(1 for r in a if r.is_new) == 1
+    assert by_key["shaB"][0].is_new and by_key["shaB"][0].occurrences == 1
+    assert by_key["shaC"][0].is_new and by_key["shaC"][0].occurrences == 1
