@@ -9,14 +9,18 @@ continuously.  Two complementary designs:
   pattern, with contracted-component incremental clustering;
 - a custom stateful operator (stateful.py): first-seen exact dedup via
   ``applyInPandasWithState`` — per-key managed state in the state store,
-  exactly-once across restarts via streaming checkpoints.
+  exactly-once across restarts via streaming checkpoints;
+- watermarked windowed ingest metrics (metrics.py): event-time tumbling
+  windows with bounded state under late data.
 """
 
 from .incremental import incremental_resolution_stream, micro_batch_resolve
+from .metrics import ingest_metrics
 from .stateful import dedup_first_seen
 
 __all__ = [
     "incremental_resolution_stream",
     "micro_batch_resolve",
     "dedup_first_seen",
+    "ingest_metrics",
 ]

@@ -136,3 +136,56 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     assert sum(1 for r in a if r.is_new) == 1
     assert by_key["shaB"][0].is_new and by_key["shaB"][0].occurrences == 1
     assert by_key["shaC"][0].is_new and by_key["shaC"][0].occurrences == 1
+
+
+def test_watermarked_ingest_metrics(spark, tmp_path):
+    """Windowed ingest metrics with a watermark: a late-but-allowed row
+    still lands in its (closed-in-processing-order) window."""
+    from healthcare_entity_resolution_spark.streaming.metrics import (
+        ingest_metrics,
+    )
+
+    in_dir = str(tmp_path / "mdrops")
+    schema = "event_time timestamp, lang string, content string"
+    raw_schema = "event_time string, lang string, content string"
+    # batch 1: two on-time rows in window [10:00, 10:01)
+    spark.createDataFrame(
+        [("2026-01-01 10:00:10", "python", "aaaa"),
+         ("2026-01-01 10:00:40", "java", "bb")],
+        raw_schema,
+    ).selectExpr("CAST(event_time AS timestamp) event_time", "lang", "content") \
+        .coalesce(1).write.parquet(in_dir + "/b1")
+    # batch 2: advances event time to 10:03 AND delivers a LATE python row
+    # for the 10:00 window (within the 2-minute watermark allowance)
+    spark.createDataFrame(
+        [("2026-01-01 10:03:00", "python", "cc"),
+         ("2026-01-01 10:00:55", "python", "dddd")],
+        raw_schema,
+    ).selectExpr("CAST(event_time AS timestamp) event_time", "lang", "content") \
+        .coalesce(1).write.parquet(in_dir + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    out = ingest_metrics(stream)
+    q = (
+        out.writeStream.format("memory").queryName("ingest_metrics")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql(
+        "SELECT * FROM ingest_metrics ORDER BY window_start, lang, n_files"
+    ).collect()
+    final = {}
+    for r in rows:  # update mode: keep the last emission per (window, lang)
+        final[(str(r.window_start), r.lang)] = (r.n_files, r.n_bytes)
+    py_1000 = final[("2026-01-01 10:00:00", "python")]
+    assert py_1000 == (2, 8)            # on-time + late row both counted
+    assert final[("2026-01-01 10:00:00", "java")] == (1, 2)
+    assert final[("2026-01-01 10:03:00", "python")] == (1, 2)
