@@ -47,26 +47,31 @@ def main() -> None:
             extra["candidate_pairs_scored_per_sec"] = round(ev["pairs_per_sec"], 1)
             extra["candidate_pairs"] = ev["pairs"]
 
+    # per-operator callables (NOT queries() keys: the driver surface merges
+    # same-grain queries to stay under its 50-key cap; bench keys stay stable
+    # round-over-round by timing the underlying single-operator queries)
     bench_queries = [
-        "b5_multi_strategy_pair_count",
-        "j2_lookup_join",
-        "a4_mode_per_key",
-        "a13_score_stats",
-        "a16_pairwise_f1",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "emb_cosine_topk",
-        "emb_ann_sign_lsh",
-        "text_token_stats",
-        "text_quality_features",
-        "text_language_id",
-        "g4_connected_components",
-        "k3_survivorship",
+        ("b5_multi_strategy_pair_count", E.q_b5_pair_count),
+        ("j2_lookup_join", E.q_j2_lookup),
+        ("a4_mode_per_key", E.q_a4_mode),
+        ("a13_score_stats", E.q_a13_score_stats),
+        ("a16_pairwise_f1", E.q_a16_pairwise_f1),
+        ("dedup_ngram_jaccard", E.q_dedup_ngram_jaccard),
+        ("dedup_minhash_lsh", E.q_dedup_minhash_portable),
+        ("emb_cosine_topk", E.q_emb_cosine_topk),
+        ("emb_ann_sign_lsh", E.q_emb_ann_lsh),
+        ("text_token_stats", E.q_text_stats),
+        ("text_quality_features", E.q_quality_features),
+        ("text_language_id", E.q_lang_identify),
+        ("g4_connected_components", E.q_cc_components),
+        ("k3_survivorship", E.q_k3_survivorship),
+        ("n2_pagerank", E.q_n2_pagerank),
+        ("n5_colleague_merge", E.q_n5_colleague_merge),
+        ("g13_cluster_quality", E.q_g13_cluster_quality),
     ]
-    qs = E.queries()
-    for name in bench_queries:
+    for name, fn in bench_queries:
         t = time.perf_counter()
-        df = qs[name](spark, sf_dir)
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t, 3)
 
