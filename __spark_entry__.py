@@ -991,7 +991,8 @@ def q_g12_graph_diagnostics(spark, sf):
     assign = connected_components(e)
     out = component_graph_diagnostics(e, assign)
     return out.select(
-        "component_id", "n_nodes", "n_bridges", "n_articulation",
+        "component_id", "n_nodes", "n_bridges", "n_weak_bridges",
+        "n_articulation",
         F.floor(F.col("cohesion") * 1e6).alias("cohesion_micro"),
     )
 

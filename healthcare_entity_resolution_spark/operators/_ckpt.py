@@ -13,12 +13,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def checkpoint(df: DataFrame) -> DataFrame:
+def _strip_stats(df: DataFrame) -> DataFrame:
+    """Rewrap a *materialized* (checkpointed) DataFrame's RDD in a fresh
+    LogicalRDD with default statistics.
+
+    Why: since Spark 3.4, ``checkpoint``/``localCheckpoint`` copy the source
+    plan's ``Statistics`` (sizeInBytes as an unbounded BigInt) into the new
+    LogicalRDD.  An iterative job that joins the checkpointed frame back to
+    itself k times per iteration multiplies those BigInts, so sizeInBytes
+    grows as stat^(k^iter) — with k=2 (e.g. PageRank uses ranks on both the
+    contribution side and the prev side) the BigInt *bit length doubles every
+    iteration* and Catalyst's stats estimation becomes exponential
+    (BigInteger.multiplyByInt OOM around iteration ~20).  Rebuilding the
+    LogicalRDD from the already-computed InternalRow RDD resets the stat to
+    the session default and costs nothing (no recompute, no job)."""
+    spark = df.sparkSession
+    try:
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            df._jdf.queryExecution().toRdd(), df._jdf.schema(), False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:  # private-API drift: fall back to the un-stripped frame
+        return df
+
+
+def checkpoint(df: DataFrame, prefer_local: bool = False) -> DataFrame:
+    """``prefer_local=True`` always takes the executor-local path: same plan
+    truncation, no checkpoint-file write and no reliable-checkpoint
+    recompute — the right choice for *inner* iterations of a loop that
+    takes a durable checkpoint periodically (e.g. PageRank, which persists
+    a reliable checkpoint every few iterations for the resume story and
+    local-checkpoints the rest)."""
+    if prefer_local:
+        return _strip_stats(df.localCheckpoint(eager=True))
     sc = df.sparkSession.sparkContext
     try:
         has_dir = not sc._jsc.sc().getCheckpointDir().isEmpty()
     except Exception:
         has_dir = False
     if has_dir:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return _strip_stats(df.checkpoint(eager=True))
+    return _strip_stats(df.localCheckpoint(eager=True))

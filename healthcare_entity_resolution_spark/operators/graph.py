@@ -175,10 +175,13 @@ def detect_overmatching(
     cfg: ResolutionConfig = DEFAULT_CONFIG,
     records: DataFrame | None = None,
     assignments: DataFrame | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """G11 (graph/overmatching.py:10-97): heuristic flags per cluster.
     Pass ``records`` + ``assignments`` to enable the incompatible-specialty
-    check (the reference's check #3)."""
+    check (the reference's check #3); pass ``edges`` too to enable the
+    weak-bridge check (#5, overmatching.py:64-70: the cluster hangs on one
+    or more bridge edges with weight < 0.5)."""
     if records is not None and assignments is not None:
         sc = specialty_conflicts(records, assignments)
         quality = quality.join(sc, "component_id", "left").withColumn(
@@ -186,6 +189,15 @@ def detect_overmatching(
         )
     else:
         quality = quality.withColumn("specialty_conflict", F.lit(False))
+    if edges is not None and assignments is not None:
+        wb = component_graph_diagnostics(edges, assignments).select(
+            "component_id", "n_weak_bridges"
+        )
+        quality = quality.join(wb, "component_id", "left").withColumn(
+            "n_weak_bridges", F.coalesce("n_weak_bridges", F.lit(0))
+        )
+    else:
+        quality = quality.withColumn("n_weak_bridges", F.lit(0))
     flags = F.array_compact(
         F.array(
             F.when(F.col("npi_conflict"), F.lit("npi_conflict")),
@@ -194,6 +206,7 @@ def detect_overmatching(
             F.when((F.col("size") > 20) & (F.col("size") <= 50), F.lit("large")),
             F.when(F.col("specialty_conflict"), F.lit("specialty_conflict")),
             F.when(F.col("state_count") > 3, F.lit("geographic_spread")),
+            F.when(F.col("n_weak_bridges") > 0, F.lit("weak_bridge")),
         )
     )
     return quality.select(
@@ -202,16 +215,19 @@ def detect_overmatching(
 
 
 GRAPH_DIAG_SCHEMA = (
-    "component_id string, n_nodes int, n_bridges int, n_articulation int, "
-    "cohesion double"
+    "component_id string, n_nodes int, n_bridges int, n_weak_bridges int, "
+    "n_articulation int, cohesion double"
 )
 
 
 def component_graph_diagnostics(
-    edges: DataFrame, assignments: DataFrame
+    edges: DataFrame, assignments: DataFrame,
+    weak_threshold: float = 0.5,
 ) -> DataFrame:
-    """G8-helper/G12: per-component bridges / articulation points / cohesion
-    via networkx inside applyInPandas (components bounded by G7)."""
+    """G8-helper/G12: per-component bridges / weak bridges (weight below
+    ``weak_threshold``, reference overmatching.py:100-123) / articulation
+    points / cohesion via networkx inside applyInPandas (components bounded
+    by G7)."""
     e = edges.join(
         assignments.select(F.col("id").alias("id_1"), "component_id"), "id_1"
     ).select("component_id", "id_1", "id_2", "weight")
@@ -224,6 +240,8 @@ def component_graph_diagnostics(
             g.add_edge(r.id_1, r.id_2, weight=r.weight)
         n = g.number_of_nodes()
         bridges = list(nx.bridges(g)) if n > 2 else []
+        weak = [(u, v) for u, v in bridges
+                if g[u][v].get("weight", 0.5) < weak_threshold]
         arts = list(nx.articulation_points(g)) if n > 2 else []
         # reference cohesion (overmatching.py:164-186):
         # 0.6 * avg edge weight + 0.4 * density; singletons -> 1.0
@@ -239,6 +257,7 @@ def component_graph_diagnostics(
                 "component_id": pdf["component_id"].iloc[0],
                 "n_nodes": n,
                 "n_bridges": len(bridges),
+                "n_weak_bridges": len(weak),
                 "n_articulation": len(arts),
                 "cohesion": cohesion,
             }]

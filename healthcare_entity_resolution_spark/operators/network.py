@@ -59,13 +59,19 @@ def pagerank(
     """N2 (influence.py:14-50): PageRank alpha=0.85 over the referral graph.
 
     DataFrame formulation: normalize out-edge weights once, then iterate
-    ``rank = (1-alpha)/n + alpha * (sum of incoming rank*w + dangling/n)``
-    with checkpoints every few iterations to truncate lineage.  L1-tolerance
-    stop mirrors networkx's power iteration (tol * n).
+    ``rank = (1-alpha)/n + alpha * (sum of incoming rank*w + dangling/n)``.
+
+    ONE full job per iteration — the eager checkpoint that materializes the
+    rank update (and truncates lineage).  The next iteration's dangling
+    mass and the L1 convergence delta (networkx's ``tol * n`` criterion)
+    both come from a single aggregate over the just-checkpointed in-memory
+    frame: the update carries ``prev`` and a ``_has_out`` marker as columns,
+    so the old per-iteration anti-join recompute and the separate delta job
+    are gone.
 
     ``fixed_iter`` runs exactly that many power iterations with no
-    convergence check (skips one driver collect per iteration) — the
-    deterministic mode the DuckDB recursive-CTE oracle replays.
+    convergence check — the deterministic mode the DuckDB recursive-CTE
+    oracle replays.
     """
     alpha, tol = cfg.pagerank_alpha, cfg.pagerank_tol
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
@@ -83,40 +89,60 @@ def pagerank(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
     ).persist()
 
+    # has_out marker joined ONCE so the per-iteration stats pass needs no
+    # anti-join recompute — dangling mass is a conditional sum over the
+    # checkpointed frame
+    has_out = out_w.select(F.col("src").alias("id"), F.lit(1).alias("_has_out"))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    dangling = (
+        ranks.join(has_out, "id", "left_anti").agg(F.sum("rank")).collect()[0][0]
+        or 0.0
+    )
     n_iter = fixed_iter if fixed_iter is not None else cfg.pagerank_max_iter
+    converged = False
     for it in range(n_iter):
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(out_w.select(F.col("src").alias("id")), "id", "left_anti")
-            .agg(F.sum("rank")).collect()[0][0] or 0.0
-        )
+        r = ranks.select("id", "rank")
         contrib = (
-            norm.join(ranks.withColumnRenamed("id", "src"), "src")
+            norm.join(r.withColumnRenamed("id", "src"), "src")
             .groupBy("dst").agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
         )
         base = (1.0 - alpha) / n + alpha * dangling / n
         new_ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .join(r.select("id", F.col("rank").alias("prev")), "id")
+            .join(has_out, "id", "left")
             .select(
                 "id",
-                (F.lit(base) + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+                (F.lit(base) + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))
+                 ).alias("rank"),
+                "prev", "_has_out",
             )
         )
-        if (it + 1) % max(cfg.checkpoint_every, 1) == 0:
-            new_ranks = _checkpoint(new_ranks)
-        if fixed_iter is not None:
-            ranks = new_ranks
-            continue
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]
-        )
-        ranks = new_ranks
-        if delta is not None and delta < tol * n:
-            lineage.log("pagerank.converged", iterations=it + 1, delta=float(delta))
-            break
-    else:
+        # ONE full job per iteration: the eager checkpoint (update + contrib
+        # in one pass, lineage truncated).  Inner iterations use the cheap
+        # executor-local checkpoint; every 10th takes a reliable (disk)
+        # checkpoint so an interrupted run resumes without replaying the
+        # whole power iteration.  Next iteration's dangling mass and the L1
+        # convergence delta then come from a single near-free aggregate over
+        # the just-checkpointed in-memory frame — the old per-iteration
+        # anti-join recompute and separate delta job are gone.
+        ranks = _checkpoint(new_ranks, prefer_local=(it + 1) % 10 != 0)
+        stats = ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("_has_out").isNull(), F.col("rank"))),
+                       F.lit(0.0)).alias("_dang"),
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("_delta"),
+        ).collect()[0]
+        dangling = stats["_dang"]
+        if fixed_iter is None:
+            delta = stats["_delta"]
+            if delta is not None and delta < tol * n:
+                lineage.log("pagerank.converged", iterations=it + 1,
+                            delta=float(delta))
+                converged = True
+                break
+    if fixed_iter is not None:
+        lineage.log("pagerank.fixed_iterations", iterations=n_iter)
+    elif not converged:
         lineage.log("pagerank.max_iterations_hit", iterations=n_iter)
 
     nodes.unpersist()

@@ -79,6 +79,39 @@ def test_detect_overmatching_flags_and_elif(spark):
     assert flags["spec"] == ["specialty_conflict"]
 
 
+def test_detect_overmatching_weak_bridge_flag(spark):
+    """Reference heuristic #5 (overmatching.py:64-70): a cluster hanging on
+    a bridge edge with weight < 0.5 gets the weak_bridge flag; a cluster
+    whose bridges are all strong does not."""
+    e = spark.createDataFrame(
+        [
+            # weak-bridge cluster: two triangles joined by a 0.3 edge
+            ("a", "b", 0.9), ("b", "c", 0.9), ("a", "c", 0.9),
+            ("c", "d", 0.3),
+            ("d", "e", 0.9), ("e", "f", 0.9), ("d", "f", 0.9),
+            # strong-bridge path: bridges exist but none weak
+            ("x", "y", 0.9), ("y", "z", 0.9),
+        ],
+        "id_1 string, id_2 string, weight double",
+    )
+    assign = connected_components(e)
+    ids = assign.select("id", "component_id").collect()
+    recs = _records(spark, [(r.id, "cms", None, None, "IL") for r in ids])
+    quality = GR.cluster_quality(recs, e, assign)
+    flags = {r.component_id: list(r.overmatch_flags)
+             for r in GR.detect_overmatching(
+                 quality, records=recs, assignments=assign, edges=e).collect()}
+    comp_of = {r.id: r.component_id for r in ids}
+    assert "weak_bridge" in flags.get(comp_of["a"], [])
+    assert comp_of["x"] not in flags  # no flags at all for the strong path
+
+    diag = {r.component_id: r for r in
+            GR.component_graph_diagnostics(e, assign).collect()}
+    assert diag[comp_of["a"]].n_weak_bridges == 1
+    assert diag[comp_of["x"]].n_bridges == 2
+    assert diag[comp_of["x"]].n_weak_bridges == 0
+
+
 def test_suggest_cluster_splits(spark):
     # two strong triangles joined by one weak bridge -> split into 2 parts;
     # a strong-bridge cluster stays whole
