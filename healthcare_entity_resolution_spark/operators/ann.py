@@ -146,14 +146,15 @@ def table_buckets(vec_col, planes_per_table: list[np.ndarray]):
     def buckets(vs: pd.Series) -> pd.Series:
         m = np.stack(vs.to_numpy()).astype(np.float64)
         bits = (m @ stacked.T) >= 0
-        out = []
-        for row in bits:
-            ids = []
-            for t, (off, b) in enumerate(zip(offsets, sizes)):
-                chunk = row[off:off + b]
-                ids.append((t << 32) | int(chunk @ (1 << np.arange(b))))
-            out.append(ids)
-        return pd.Series(out)
+        # vectorized packing: per table, bits[:, off:off+b] @ 2^arange(b)
+        # tagged with the table index — no per-row Python loop
+        cols = [
+            (bits[:, off:off + b] @ (1 << np.arange(b, dtype=np.int64)))
+            .astype(np.int64) | (t << 32)
+            for t, (off, b) in enumerate(zip(offsets, sizes))
+        ]
+        packed = np.stack(cols, axis=1)  # (rows, n_tables)
+        return pd.Series(list(packed))
 
     return buckets(vec_col)
 
@@ -304,7 +305,13 @@ def build_lsh_index(
     e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     if n_planes is None:
         n_planes = auto_n_planes(e.count())
-    dim = len(e.select("v").first()["v"])
+    first = e.select("v").first()
+    if first is None or first["v"] is None:
+        raise ValueError(
+            "build_lsh_index: embeddings frame is empty (or first vector is "
+            "null) — cannot infer the embedding dimension"
+        )
+    dim = len(first["v"])
     planes = [random_hyperplanes(dim, n_planes, seed + 1000 * t)
               for t in range(n_tables)]
     idx = e.select(

@@ -133,25 +133,32 @@ def assign_cluster_labels(assignments: DataFrame) -> DataFrame:
 
     sizes = cluster_sizes(assignments)
     spark = assignments.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (TypeError, ValueError):  # e.g. "auto" on some runtimes
+        n_parts = sizes.rdd.getNumPartitions()
     parted = sizes.repartitionByRange(
         n_parts, F.col("size").desc(), F.col("component_id")
     ).withColumn("_pid", F.spark_partition_id()).persist()
     counts = {r["_pid"]: r["n"] for r in
               parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    off_expr = F.lit(0)
-    for pid, off in offsets.items():
-        off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
+    # tiny (_pid, offset) broadcast join: O(1) expression depth regardless
+    # of partition count (a when-chain here bloats codegen at thousands of
+    # shuffle partitions)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     local = W.partitionBy("_pid").orderBy(F.col("size").desc(), F.col("component_id"))
     labeled = _checkpoint(
-        parted.withColumn(
+        parted.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
             "cluster_label",
             F.format_string(
-                "CLUSTER_%05d", (F.row_number().over(local) - 1 + off_expr).cast("int")
+                "CLUSTER_%05d",
+                (F.row_number().over(local) - 1
+                 + F.coalesce("_off", F.lit(0))).cast("int"),
             ),
         ).select("component_id", "cluster_label", "size")
     )  # materialized before unpersist so offsets can't shift under recompute

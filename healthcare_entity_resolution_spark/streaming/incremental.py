@@ -68,10 +68,17 @@ def micro_batch_resolve(
     # pandas UDF runs over the BATCH only — per-batch key cost is
     # O(batch), not O(corpus).
     new_keys = B.code_file_block_keys(new_files, cfg).select("_id", "_bk")
-    all_keys = (
-        store.load("keys").unionByName(new_keys)
-        if store.exists("keys") else new_keys
-    )
+    if store.exists("keys"):
+        old_keys = store.load("keys")
+        # replay guard (mirrors the file_id guard above): a crash between
+        # the keys commit and the files commit replays the batch with keys
+        # already committed — the anti-join keeps this commit idempotent
+        # without a corpus-wide dropDuplicates (a file's keys commit
+        # atomically, so filtering on _id alone is sufficient)
+        new_keys = new_keys.join(old_keys.select("_id"), "_id", "left_anti")
+        all_keys = old_keys.unionByName(new_keys)
+    else:
+        all_keys = new_keys
     all_keys = store.commit(all_keys, "keys")  # re-read: UDF ran exactly once
     new_key_side = all_keys.join(
         new_files.select(F.col("file_id").alias("_id")), "_id", "left_semi"

@@ -54,6 +54,36 @@ def test_micro_batches_converge_to_batch_answer(spark, corpus, tmp_path):
     shutil.rmtree(run_dir, ignore_errors=True)
 
 
+def test_keys_commit_idempotent_under_crash_replay(spark, corpus, tmp_path):
+    """Crash window: keys committed but files not yet — replaying the batch
+    must not duplicate (_id, _bk) rows in the keys snapshot (the files-side
+    replay guard alone can't catch this, since the files snapshot is still
+    pre-batch)."""
+    from healthcare_entity_resolution_spark.config import DEFAULT_CONFIG
+    from healthcare_entity_resolution_spark.operators import blocking as B
+    from healthcare_entity_resolution_spark.operators import normalize as N
+
+    run_dir = str(tmp_path / "crash_state")
+    store = SnapshotStore(spark, run_dir)
+    wave = F.abs(F.xxhash64("repo", "path", "commit")) % 3
+    w0, w1 = corpus.where(wave == 0), corpus.where(wave == 1)
+    micro_batch_resolve(spark, w0, store)
+
+    # simulate the crash: commit wave-1 keys as a crashed attempt would
+    # have, WITHOUT committing wave-1 files
+    crashed_keys = B.code_file_block_keys(
+        N.normalize_files(w1), DEFAULT_CONFIG
+    ).select("_id", "_bk")
+    store.commit(store.load("keys").unionByName(crashed_keys), "keys")
+    before = store.load("keys").count()
+
+    micro_batch_resolve(spark, w1, store)  # the replay
+    keys = store.load("keys")
+    assert keys.count() == before  # no duplicate key rows accumulated
+    assert keys.count() == keys.dropDuplicates(["_id", "_bk"]).count()
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+
 def test_readstream_available_now(spark, corpus, tmp_path):
     in_dir = str(tmp_path / "drops")
     run_dir = str(tmp_path / "state")
