@@ -239,8 +239,10 @@ def test_multimodal_plumbing(spark):
            M.decode_image(df, "media_id", "payload", fake=True).collect()}
     assert dec["m1"]["ok"] and 64 <= dec["m1"]["width"] < 256
 
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
-        M.decode_image(df, "media_id", "payload", fake=False).collect()
+    # real header decode: non-image payloads are ok=False, not an error
+    real = {r.media_id: r for r in
+            M.decode_image(df, "media_id", "payload", fake=False).collect()}
+    assert not real["m1"]["ok"] and real["m1"]["width"] is None
 
     feats = {r.media_id: r.features for r in
              M.extract_byte_features(df, "media_id", "payload").collect()}
@@ -251,6 +253,64 @@ def test_multimodal_plumbing(spark):
     vids = spark.createDataFrame([("v1", 3500)], "media_id string, dur_ms int")
     plan = M.frame_sample_plan(vids, "media_id", "dur_ms", every_ms=1000).collect()
     assert [r.frame_ts_ms for r in plan] == [0, 1000, 2000, 3000]
+
+
+def _png_bytes(w, h, color_type=6):
+    import struct, zlib
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + chunk
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+
+
+def _jpeg_bytes(w, h, ncomp=3):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    sof_len = 8 + 3 * ncomp
+    sof = (b"\xff\xc0" + struct.pack(">H", sof_len) + b"\x08"
+           + struct.pack(">HH", h, w) + bytes([ncomp]) + b"\x01\x11\x00" * ncomp)
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def _gif_bytes(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _bmp_bytes(w, h, bpp=24):
+    import struct
+    header = b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+    dib = struct.pack("<IiiHH", 40, w, h, 1, bpp) + b"\x00" * 24
+    return header + dib
+
+
+def test_decode_image_real_headers(spark):
+    """parse_image_header reads actual container headers (VERDICT r2 #5):
+    hand-built PNG/JPEG/GIF/BMP byte fixtures decode to their true
+    dimensions with fake=False; truncated/garbage bytes come back
+    ok=False."""
+    rows = [
+        ("png", _png_bytes(640, 480, color_type=6)),
+        ("png_gray", _png_bytes(32, 16, color_type=0)),
+        ("jpg", _jpeg_bytes(1024, 768)),
+        ("gif", _gif_bytes(320, 200)),
+        ("bmp", _bmp_bytes(64, 48)),
+        ("junk", b"not an image at all"),
+        ("trunc", b"\xff\xd8\xff"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    dec = {r.media_id: r for r in
+           M.decode_image(df, "media_id", "payload", fake=False).collect()}
+    assert (dec["png"].width, dec["png"].height, dec["png"].n_channels) == (640, 480, 4)
+    assert (dec["png_gray"].width, dec["png_gray"].n_channels) == (32, 1)
+    assert (dec["jpg"].width, dec["jpg"].height, dec["jpg"].n_channels) == (1024, 768, 3)
+    assert (dec["gif"].width, dec["gif"].height) == (320, 200)
+    assert (dec["bmp"].width, dec["bmp"].height, dec["bmp"].n_channels) == (64, 48, 3)
+    assert not dec["junk"].ok and not dec["trunc"].ok
+
+    # plain-python parser agrees (no Spark in the loop)
+    assert M.parse_image_header(_png_bytes(7, 9, 2)) == (7, 9, 3)
+    assert M.parse_image_header(b"") is None
 
 
 def test_lsh_index_partition_pruning(spark, tmp_path):
