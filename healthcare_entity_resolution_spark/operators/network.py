@@ -61,13 +61,23 @@ def pagerank(
     DataFrame formulation: normalize out-edge weights once, then iterate
     ``rank = (1-alpha)/n + alpha * (sum of incoming rank*w + dangling/n)``.
 
-    ONE full job per iteration — the eager checkpoint that materializes the
-    rank update (and truncates lineage).  The next iteration's dangling
-    mass and the L1 convergence delta (networkx's ``tol * n`` criterion)
-    both come from a single aggregate over the just-checkpointed in-memory
-    frame: the update carries ``prev`` and a ``_has_out`` marker as columns,
-    so the old per-iteration anti-join recompute and the separate delta job
-    are gone.
+    Driver-action budget (the at-scale cost is per-job scheduling, not the
+    tiny per-iteration shuffles):
+
+    - ONE job per iteration in the general case: the rank update is
+      ``persist()``-ed lazily and a single aggregate over it materializes
+      the cache AND returns next iteration's dangling mass plus the L1
+      convergence delta (networkx's ``tol * n`` criterion) — the update
+      carries ``prev``/``_has_out`` as columns, so there is no anti-join
+      recompute and no separate delta job.
+    - ``fixed_iter`` on a graph with NO dangling nodes needs no per-
+      iteration scalar at all, so iterations chain lazily and only the
+      periodic checkpoint runs a job — ~1 job per ``sync_every``
+      iterations.
+    - every ``sync_every`` iterations (and every 10th as a durable disk
+      checkpoint for the resume story) the chain is truncated via
+      :func:`~.._ckpt.checkpoint`, which also resets the LogicalRDD
+      statistics (see ``_ckpt._strip_stats``).
 
     ``fixed_iter`` runs exactly that many power iterations with no
     convergence check — the deterministic mode the DuckDB recursive-CTE
@@ -91,15 +101,19 @@ def pagerank(
 
     # has_out marker joined ONCE so the per-iteration stats pass needs no
     # anti-join recompute — dangling mass is a conditional sum over the
-    # checkpointed frame
+    # materialized frame
     has_out = out_w.select(F.col("src").alias("id"), F.lit(1).alias("_has_out"))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
-    dangling = (
-        ranks.join(has_out, "id", "left_anti").agg(F.sum("rank")).collect()[0][0]
-        or 0.0
-    )
+    n_dangling = nodes.join(has_out, "id", "left_anti").count()
+    dangling = n_dangling / n  # uniform initial ranks
+    need_delta = fixed_iter is None
+    # fixed-iteration runs on dangling-free graphs need no per-iteration
+    # driver scalar: iterations chain lazily between checkpoints
+    need_stats = need_delta or n_dangling > 0
+    sync_every = 5
     n_iter = fixed_iter if fixed_iter is not None else cfg.pagerank_max_iter
     converged = False
+    prev_cached: DataFrame | None = None
     for it in range(n_iter):
         r = ranks.select("id", "rank")
         contrib = (
@@ -107,39 +121,45 @@ def pagerank(
             .groupBy("dst").agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
         )
         base = (1.0 - alpha) / n + alpha * dangling / n
-        new_ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .join(r.select("id", F.col("rank").alias("prev")), "id")
-            .join(has_out, "id", "left")
-            .select(
-                "id",
-                (F.lit(base) + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))
-                 ).alias("rank"),
-                "prev", "_has_out",
-            )
-        )
-        # ONE full job per iteration: the eager checkpoint (update + contrib
-        # in one pass, lineage truncated).  Inner iterations use the cheap
-        # executor-local checkpoint; every 10th takes a reliable (disk)
-        # checkpoint so an interrupted run resumes without replaying the
-        # whole power iteration.  Next iteration's dangling mass and the L1
-        # convergence delta then come from a single near-free aggregate over
-        # the just-checkpointed in-memory frame — the old per-iteration
-        # anti-join recompute and separate delta job are gone.
-        ranks = _checkpoint(new_ranks, prefer_local=(it + 1) % 10 != 0)
-        stats = ranks.agg(
-            F.coalesce(F.sum(F.when(F.col("_has_out").isNull(), F.col("rank"))),
-                       F.lit(0.0)).alias("_dang"),
-            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("_delta"),
-        ).collect()[0]
-        dangling = stats["_dang"]
-        if fixed_iter is None:
-            delta = stats["_delta"]
-            if delta is not None and delta < tol * n:
-                lineage.log("pagerank.converged", iterations=it + 1,
-                            delta=float(delta))
-                converged = True
-                break
+        new_rank = (
+            F.lit(base) + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))
+        ).alias("rank")
+        upd = nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+        cols = ["id", new_rank]
+        if need_delta:
+            upd = upd.join(r.select("id", F.col("rank").alias("prev")), "id")
+            cols.append("prev")
+        if need_stats:
+            upd = upd.join(has_out, "id", "left")
+            cols.append("_has_out")
+        new_ranks = upd.select(*cols)
+
+        sync = (it + 1) % sync_every == 0
+        if sync:
+            # chain truncation; every 10th durable for resume
+            new_ranks = _checkpoint(new_ranks, prefer_local=(it + 1) % 10 != 0)
+        elif need_stats:
+            new_ranks = new_ranks.persist()
+        ranks = new_ranks
+
+        if need_stats:
+            aggs = [F.coalesce(
+                F.sum(F.when(F.col("_has_out").isNull(), F.col("rank"))),
+                F.lit(0.0)).alias("_dang")]
+            if need_delta:
+                aggs.append(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("_delta"))
+            stats = ranks.agg(*aggs).collect()[0]  # materializes the cache
+            dangling = stats["_dang"]
+            if prev_cached is not None:
+                prev_cached.unpersist(blocking=False)
+            prev_cached = ranks if not sync else None
+            if need_delta:
+                delta = stats["_delta"]
+                if delta is not None and delta < tol * n:
+                    lineage.log("pagerank.converged", iterations=it + 1,
+                                delta=float(delta))
+                    converged = True
+                    break
     if fixed_iter is not None:
         lineage.log("pagerank.fixed_iterations", iterations=n_iter)
     elif not converged:
