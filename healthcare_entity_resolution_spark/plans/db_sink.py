@@ -1,0 +1,156 @@
+"""Live-database sink — the reference's bulk insert/upsert as a Spark sink.
+
+Reference behavior (studied at /root/reference/src/physician_resolution/db/
+bulk.py:31-91): driver-side sqlalchemy loops pushing 1000-row batches into
+Postgres, with ``INSERT ... ON CONFLICT (source, source_id) DO UPDATE`` for
+the upsert path.  A driver loop caps throughput at one connection; the
+Spark-native shape is
+
+- **DBAPI path** (:func:`write_dbapi_upsert`): ``foreachPartition`` opens
+  one connection *per partition on the executors* and streams
+  ``executemany`` batches — N partitions = N concurrent bulk writers,
+  which is how COPY-less Postgres ingest actually scales.  Tested here
+  end-to-end against sqlite3 (the container's only DBMS; same
+  ``ON CONFLICT DO UPDATE`` grammar since sqlite 3.24).
+- **JDBC path** (:func:`write_jdbc`): the built-in parallel JDBC writer
+  for plain inserts (no driver jar ships in this container, so this is a
+  thin, documented wrapper).
+- **MERGE path** (:func:`merge_into_sql`): on a lakehouse deployment the
+  upsert is a single ``MERGE INTO`` against the Iceberg table — generated
+  here so callers on a real cluster run it via ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def upsert_statement(
+    table: str,
+    cols: Sequence[str],
+    conflict_cols: Sequence[str],
+    dialect: str = "postgres",
+) -> str:
+    """The reference's pg ``on_conflict_do_update`` (bulk.py:65-82) as a
+    plain parameterized statement.  ``dialect`` 'postgres' and 'sqlite'
+    share the grammar; every non-key column is overwritten from
+    ``excluded`` like the reference's ``set_`` map."""
+    if dialect not in ("postgres", "sqlite"):
+        raise ValueError(f"upsert_statement: unsupported dialect {dialect!r}")
+    update_cols = [c for c in cols if c not in conflict_cols]
+    if not update_cols:
+        action = "NOTHING"
+    else:
+        sets = ", ".join(f"{c} = excluded.{c}" for c in update_cols)
+        action = f"UPDATE SET {sets}"
+    return (
+        f"INSERT INTO {table} ({', '.join(cols)}) "
+        f"VALUES ({', '.join('?' for _ in cols)}) "
+        f"ON CONFLICT ({', '.join(conflict_cols)}) DO {action}"
+    )
+
+
+def insert_statement(table: str, cols: Sequence[str]) -> str:
+    """Plain-insert form of the same batch writer (bulk.py:31-50)."""
+    return (
+        f"INSERT INTO {table} ({', '.join(cols)}) "
+        f"VALUES ({', '.join('?' for _ in cols)})"
+    )
+
+
+def write_dbapi_upsert(
+    df: DataFrame,
+    connect: Callable[[], object],
+    table: str,
+    conflict_cols: Sequence[str] | None = None,
+    batch_size: int = 1000,
+    dialect: str = "postgres",
+) -> None:
+    """Distributed bulk insert/upsert through any DBAPI driver.
+
+    ``connect`` is a picklable zero-arg factory (e.g.
+    ``lambda: psycopg2.connect(dsn)``) invoked once per partition ON THE
+    EXECUTOR — the reference's one driver-side connection becomes one
+    writer per partition.  Rows stream through ``executemany`` in
+    ``batch_size`` chunks with a commit per batch, matching the
+    reference's batch-commit cadence (bulk.py:39-47).  With
+    ``conflict_cols=None`` this is the plain-insert path.
+
+    Size the write concurrency with ``df.repartition(n)`` beforehand —
+    n should be what the target database can absorb, not the shuffle
+    default.
+    """
+    cols = list(df.columns)
+    stmt = (
+        insert_statement(table, cols)
+        if not conflict_cols
+        else upsert_statement(table, cols, conflict_cols, dialect)
+    )
+
+    def _write(rows: Iterable) -> None:
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            batch: list[tuple] = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in cols))
+                if len(batch) >= batch_size:
+                    cur.executemany(stmt, batch)
+                    conn.commit()
+                    batch.clear()
+            if batch:
+                cur.executemany(stmt, batch)
+                conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(_write)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 1000,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """Parallel plain-insert through Spark's JDBC writer (the built-in
+    fast path when a driver jar is on the classpath; inserts only — for
+    upserts use :func:`write_dbapi_upsert` or :func:`merge_into_sql`)."""
+    out = df.repartition(num_partitions) if num_partitions else df
+    (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .options(**options)
+        .mode(mode)
+        .save()
+    )
+
+
+def merge_into_sql(
+    target_table: str,
+    source_view: str,
+    cols: Sequence[str],
+    key_cols: Sequence[str],
+) -> str:
+    """Lakehouse upsert: one ``MERGE INTO`` statement per micro-batch /
+    run instead of row-level conflict handling — the Iceberg-native form
+    of bulk.py's upsert.  Register the frame with
+    ``df.createOrReplaceTempView(source_view)`` and run the returned SQL.
+    """
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    update_cols = [c for c in cols if c not in key_cols]
+    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+    names = ", ".join(cols)
+    vals = ", ".join(f"s.{c}" for c in cols)
+    stmt = f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
+    if update_cols:
+        stmt += f"WHEN MATCHED THEN UPDATE SET {sets} "
+    stmt += f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})"
+    return stmt

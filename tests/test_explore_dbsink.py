@@ -1,0 +1,270 @@
+"""Dashboard query surface (plans/explore.py) with DuckDB oracle parity,
+and the DBAPI/JDBC sink (plans/db_sink.py) end-to-end against sqlite3."""
+
+from __future__ import annotations
+
+import functools
+import sqlite3
+
+import duckdb
+import pandas as pd
+import pytest
+
+from healthcare_entity_resolution_spark.plans import db_sink as DB
+from healthcare_entity_resolution_spark.plans import explore as X
+from tests.oracle_harness import compare
+
+PHYS = pd.DataFrame(
+    {
+        "id": [f"e{i}" for i in range(8)],
+        "npi": ["1", None, "3", "4", None, "6", "7", "8"],
+        "name": ["John Smith", "Mary Jones", "Bob Wilson", "Ann Smithson",
+                 None, "Jo Park", "Sam Lee", "Kim Cho"],
+        "specialty": ["CARDIOLOGY", "PEDIATRICS", "SURGERY", "CARDIOLOGY",
+                      "SURGERY", None, "CARDIOLOGY", "PEDIATRICS"],
+        "city": ["SPR", "DAY", "CHI", "SPR", "CHI", "NYC", "SPR", "DAY"],
+        "state": ["IL", "OH", "IL", "IL", "IL", "NY", "IL", "OH"],
+        "confidence_score": [0.95, 0.7, 0.55, 0.9, 0.4, 0.8, 0.65, 0.85],
+        "source_count": [3, 2, 1, 2, 1, 2, 1, 3],
+    }
+)
+MAPPING = pd.DataFrame(
+    {
+        "source_record_id": [f"r{i}" for i in range(10)],
+        "canonical_id": ["e0", "e0", "e0", "e1", "e1", "e2", "e3", "e3",
+                         "e5", "e7"],
+        "confidence": [0.9, 0.8, 0.85, 0.7, 0.75, 0.5, 0.9, 0.88, 0.8, 0.9],
+    }
+)
+INFLUENCE = pd.DataFrame(
+    {
+        "physician_id": ["e0", "e1", "e3", "e7"],
+        "pagerank_score": [0.31, 0.11, 0.22, 0.07],
+        "referral_in_count": [4, 1, 2, 0],
+        "referral_out_count": [2, 2, 1, 1],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    return (
+        spark.createDataFrame(PHYS),
+        spark.createDataFrame(MAPPING),
+        spark.createDataFrame(INFLUENCE),
+    )
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.register("phys", PHYS)
+    c.register("mapping", MAPPING)
+    c.register("influence", INFLUENCE)
+    return c
+
+
+def test_search_physicians_parity(frames, con):
+    phys, _, _ = frames
+    out = X.search_physicians(
+        phys, states=["IL"], specialties=["CARDIOLOGY", "SURGERY"],
+        min_confidence=0.5, name_contains="smith",
+    )
+    ok, msg = compare(
+        out, con,
+        """SELECT * FROM phys
+           WHERE state IN ('IL')
+             AND specialty IN ('CARDIOLOGY','SURGERY')
+             AND confidence_score >= 0.5
+             AND name IS NOT NULL AND lower(name) LIKE '%smith%'""",
+        "search_physicians",
+    )
+    assert ok, msg
+
+
+def test_search_metrics_parity(frames, con):
+    phys, _, _ = frames
+    out = X.search_metrics(X.search_physicians(phys, states=["IL"]))
+    ok, msg = compare(
+        out, con,
+        """SELECT count(*) AS total_matching,
+                  avg(confidence_score) AS avg_confidence,
+                  count(npi) AS with_npi,
+                  avg(source_count) AS avg_sources
+           FROM phys WHERE state IN ('IL')""",
+        "search_metrics",
+    )
+    assert ok, msg
+
+
+def test_provenance_parity(frames, con):
+    phys, mapping, _ = frames
+    out = X.physician_provenance(phys, mapping, name_contains="smith")
+    ok, msg = compare(
+        out["matches"], con,
+        "SELECT * FROM phys WHERE name IS NOT NULL "
+        "AND lower(name) LIKE '%smith%'",
+        "provenance_matches",
+    )
+    assert ok, msg
+    ok, msg = compare(
+        out["source_mapping"], con,
+        """SELECT m.canonical_id, m.source_record_id, m.confidence
+           FROM mapping m
+           WHERE m.canonical_id IN (
+             SELECT id FROM phys WHERE name IS NOT NULL
+             AND lower(name) LIKE '%smith%')""",
+        "provenance_mapping",
+    )
+    assert ok, msg
+
+
+def test_provenance_point_lookups(frames):
+    phys, mapping, _ = frames
+    by_id = X.physician_provenance(phys, mapping, canonical_id="e0")
+    assert by_id["matches"].count() == 1
+    assert by_id["source_mapping"].count() == 3
+    by_npi = X.physician_provenance(phys, mapping, npi="4")
+    assert [r.id for r in by_npi["matches"].collect()] == ["e3"]
+    with pytest.raises(ValueError):
+        X.physician_provenance(phys, mapping)
+
+
+def test_top_influencers_parity(frames, con):
+    phys, _, influence = frames
+    out = X.top_influencers(phys, influence, k=3, states=["IL"])
+    ok, msg = compare(
+        out, con,
+        """SELECT p.*, coalesce(i.pagerank_score, 0.0) AS influence_score,
+                  i.referral_in_count, i.referral_out_count
+           FROM phys p LEFT JOIN influence i ON p.id = i.physician_id
+           WHERE p.state IN ('IL')
+           ORDER BY influence_score DESC, p.id ASC LIMIT 3""",
+        "top_influencers",
+    )
+    assert ok, msg
+
+
+def test_top_influencers_no_scores(frames):
+    phys, _, _ = frames
+    out = X.top_influencers(phys, None, k=2)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r.influence_score == 0.0 for r in rows)
+
+
+# --- db_sink ---------------------------------------------------------------
+
+
+def test_statement_generation():
+    s = DB.upsert_statement("t", ["a", "b", "c"], ["a"], dialect="sqlite")
+    assert s == (
+        "INSERT INTO t (a, b, c) VALUES (?, ?, ?) "
+        "ON CONFLICT (a) DO UPDATE SET b = excluded.b, c = excluded.c"
+    )
+    assert DB.upsert_statement("t", ["a"], ["a"]).endswith("DO NOTHING")
+    with pytest.raises(ValueError):
+        DB.upsert_statement("t", ["a"], ["a"], dialect="oracle")
+    m = DB.merge_into_sql("tgt", "src", ["k", "v"], ["k"])
+    assert m == (
+        "MERGE INTO tgt t USING src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    assert DB.insert_statement("t", ["a", "b"]) == (
+        "INSERT INTO t (a, b) VALUES (?, ?)"
+    )
+
+
+def test_dbapi_upsert_end_to_end(spark, tmp_path):
+    """Insert then upsert through foreachPartition against sqlite — the
+    reference bulk.py:53-91 semantics (conflict keys (source, source_id),
+    non-key columns overwritten)."""
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as c:
+        c.execute(
+            "CREATE TABLE source_records ("
+            "source TEXT, source_id TEXT, npi TEXT, name_raw TEXT, "
+            "UNIQUE (source, source_id))"
+        )
+    connect = functools.partial(sqlite3.connect, db)
+
+    first = spark.createDataFrame(
+        [("cms", "1", "111", "SMITH"), ("cms", "2", "222", "JONES"),
+         ("lic", "1", "333", "PARK")],
+        "source string, source_id string, npi string, name_raw string",
+    ).coalesce(1)  # sqlite single-writer; real DBs take N partitions
+    DB.write_dbapi_upsert(first, connect, "source_records",
+                          conflict_cols=["source", "source_id"],
+                          dialect="sqlite", batch_size=2)
+
+    second = spark.createDataFrame(
+        [("cms", "2", "999", "JONES M"), ("lic", "9", "444", "LEE")],
+        "source string, source_id string, npi string, name_raw string",
+    ).coalesce(1)
+    DB.write_dbapi_upsert(second, connect, "source_records",
+                          conflict_cols=["source", "source_id"],
+                          dialect="sqlite")
+
+    with sqlite3.connect(db) as c:
+        rows = sorted(c.execute(
+            "SELECT source, source_id, npi, name_raw FROM source_records"
+        ).fetchall())
+    assert rows == [
+        ("cms", "1", "111", "SMITH"),
+        ("cms", "2", "999", "JONES M"),   # updated in place
+        ("lic", "1", "333", "PARK"),
+        ("lic", "9", "444", "LEE"),       # inserted
+    ]
+
+
+def test_dbapi_plain_insert(spark, tmp_path):
+    db = str(tmp_path / "ins.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE t (a INTEGER, b TEXT)")
+    connect = functools.partial(sqlite3.connect, db)
+    df = spark.range(5).selectExpr("id AS a", "cast(id AS string) AS b")
+    DB.write_dbapi_upsert(df.coalesce(1), connect, "t")
+    with sqlite3.connect(db) as c:
+        assert c.execute("SELECT count(*) FROM t").fetchone()[0] == 5
+
+
+def test_physician_search_report(frames, tmp_path):
+    from healthcare_entity_resolution_spark.plans.report_html import (
+        physician_search_report,
+    )
+
+    phys, mapping, influence = frames
+    src = phys.sparkSession.createDataFrame(
+        [(f"r{i}", "cms", str(i)) for i in range(10)],
+        "id string, source string, source_id string",
+    )
+    path = physician_search_report(
+        phys, mapping=mapping, source_records=src, influence=influence,
+        path=str(tmp_path / "search.html"), states=["IL"],
+        min_confidence=0.5, top_k=3,
+    )
+    out = open(path).read()
+    assert "total_matching" in out and "Top 3 by influence" in out
+    assert "Provenance drill-down" in out and "Source records" in out
+    assert "e0" in out and "r0" in out
+
+
+def test_search_filters_push_down_to_scan(spark, tmp_path):
+    """The scale claim in plans/explore.py: state/specialty/confidence
+    filters reach the parquet scan (PushedFilters), and only projected
+    columns are read (ReadSchema)."""
+    p = str(tmp_path / "phys.parquet")
+    spark.createDataFrame(PHYS).write.parquet(p)
+    df = X.search_physicians(
+        spark.read.parquet(p), states=["IL"], min_confidence=0.5,
+    ).select("id", "state", "confidence_score")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    # Catalyst rewrites a 1-element isin to EqualTo; both push down.
+    assert "In(state" in pushed or "EqualTo(state,IL)" in pushed
+    # the plan's filter list may be elided mid-name ("confidence_...")
+    assert "GreaterThanOrEqual(confidence_" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "name" not in read_schema and "npi" not in read_schema
