@@ -248,15 +248,30 @@ def ivf_topk(
     ``n_lists=None`` derives the FAISS-style sqrt(N) list count from the
     corpus size (capped so the centroid collect stays a driver-trivial
     broadcast); ``nprobe=None`` probes ~1/8 of the lists (min 4)."""
+    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = _ivf_centroids(e, n_lists, seed, id_col)
+    if nprobe is None:
+        nprobe = max(4, len(cents) // 8)
+    probe_lists = _ivf_probe_lists(cents, query_vec, nprobe)
+    assigned = e.withColumn("list_id", _ivf_assign_udf(cents)(F.col("v")))
+    probed = assigned.where(F.col("list_id").isin(probe_lists))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+    return (
+        probed.select(id_col, F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _ivf_centroids(e, n_lists, seed, id_col):
+    """Deterministic-sample centroids: first n_lists rows by hash order
+    (cheap, reproducible; k-means would converge better but needs
+    iterations).  Returns the row-normalized (n_lists, dim) matrix."""
     import math
 
-    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     if n_lists is None:
         n_lists = int(min(65536, max(16, math.isqrt(max(e.count(), 1)))))
-    if nprobe is None:
-        nprobe = max(4, n_lists // 8)
-    # centroids: first n_lists rows by a deterministic hash order (cheap,
-    # reproducible; k-means would converge better but needs iterations)
     cent_rows = (
         e.withColumn("_r", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .orderBy("_r")
@@ -264,7 +279,11 @@ def ivf_topk(
         .collect()
     )
     cents = np.array([r["v"] for r in cent_rows], dtype=np.float64)
-    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def _ivf_assign_udf(cents: np.ndarray):
+    """Arrow-batched nearest-centroid assignment: one matmul per batch."""
 
     @F.pandas_udf(T.IntegerType())
     def assign(vs: pd.Series) -> pd.Series:
@@ -272,16 +291,70 @@ def ivf_topk(
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
 
+    return assign
+
+
+def _ivf_probe_lists(cents: np.ndarray, query_vec, nprobe: int) -> list[int]:
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = qv / np.linalg.norm(qv)
-    probe_lists = np.argsort(-(cents @ qn))[:nprobe].tolist()
+    return [int(x) for x in np.argsort(-(cents @ qn))[:nprobe]]
 
-    assigned = e.withColumn("list_id", assign(F.col("v")))
-    probed = assigned.where(F.col("list_id").isin([int(x) for x in probe_lists]))
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF assignment ONCE as parquet PARTITIONED BY
+    ``list_id`` (plus the centroid matrix under ``<path>/_centroids``), so
+    repeated queries are partition-pruned reads instead of re-assigning
+    every vector per query (the ad-hoc :func:`ivf_topk` cost).  Mirrors
+    :func:`build_lsh_index`'s on-disk contract; returns the centroids."""
+    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = _ivf_centroids(e, n_lists, seed, id_col)
+    assigned = e.withColumn("list_id", _ivf_assign_udf(cents)(F.col("v")))
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/data"
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    return cents
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Top-k against a :func:`build_ivf_index` layout.  The ``list_id IN
+    (...)`` predicate is a PartitionFilter — only the probed list
+    directories are scanned.  Pass ``centroids`` to skip the (tiny)
+    centroid read on hot paths."""
+    if centroids is None:
+        rows = spark.read.parquet(f"{path}/_centroids").collect()
+        centroids = np.array(
+            [r["centroid"] for r in sorted(rows, key=lambda r: r["list_id"])],
+            dtype=np.float64,
+        )
+    if nprobe is None:
+        nprobe = max(4, len(centroids) // 8)
+    probes = _ivf_probe_lists(centroids, query_vec, nprobe)
+    idx = spark.read.parquet(f"{path}/data")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
     return (
-        probed.select(id_col, F.round(cos, 6).alias("cosine"))
+        idx.where(F.col("list_id").isin(probes))
+        .select(id_col, F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

@@ -338,3 +338,38 @@ def test_lsh_index_partition_pruning(spark, tmp_path):
            ann.sign_lsh_topk(emb.where(F.col("vec_id") != 0), q, k=10,
                              n_planes=4, n_tables=4).collect()]
     assert got == mem
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """build_ivf_index persists the list assignment once; query_ivf_index
+    must read it with PartitionFilters on list_id and agree with the
+    ad-hoc ivf_topk on the same (n_lists, nprobe, seed)."""
+    import io
+    import contextlib
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") != 0)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf_index")
+
+    cents = ann.build_ivf_index(corpus, path, n_lists=16, seed=42)
+    assert cents.shape[0] == 16
+
+    out = ann.query_ivf_index(spark, path, q, k=10, nprobe=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "list_id#" in plan, plan[-2000:]
+
+    got = [r.vec_id for r in out.collect()]
+    adhoc = [r.vec_id for r in
+             ann.ivf_topk(corpus, q, k=10, n_lists=16, nprobe=4,
+                          seed=42).collect()]
+    assert got == adhoc
+
+    # centroid-read path and pass-through path agree
+    got2 = [r.vec_id for r in
+            ann.query_ivf_index(spark, path, q, k=10, nprobe=4,
+                                centroids=cents).collect()]
+    assert got2 == got
