@@ -99,12 +99,20 @@ def pagerank(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
     ).persist()
 
-    # has_out marker joined ONCE so the per-iteration stats pass needs no
-    # anti-join recompute — dangling mass is a conditional sum over the
-    # materialized frame
+    # _has_out rides ON the ranks frame (joined once at setup), so each
+    # iteration is exactly TWO joins — rank->edges for the contrib sum,
+    # contrib->ranks for the update.  The old shape re-joined nodes and a
+    # has_out marker every iteration; in local/bench runs each of those
+    # tiny joins is a BroadcastExchange, i.e. an extra driver sync per
+    # iteration, and at scale they are avoidable shuffles.
     has_out = out_w.select(F.col("src").alias("id"), F.lit(1).alias("_has_out"))
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
-    n_dangling = nodes.join(has_out, "id", "left_anti").count()
+    ranks0 = (
+        nodes.join(has_out, "id", "left")
+        .select("id", F.lit(1.0 / n).alias("rank"), "_has_out")
+        .persist()
+    )
+    ranks = ranks0
+    n_dangling = ranks0.where(F.col("_has_out").isNull()).count()
     dangling = n_dangling / n  # uniform initial ranks
     need_delta = fixed_iter is None
     # fixed-iteration runs on dangling-free graphs need no per-iteration
@@ -115,23 +123,23 @@ def pagerank(
     converged = False
     prev_cached: DataFrame | None = None
     for it in range(n_iter):
-        r = ranks.select("id", "rank")
         contrib = (
-            norm.join(r.withColumnRenamed("id", "src"), "src")
+            norm.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
             .groupBy("dst").agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
         )
         base = (1.0 - alpha) / n + alpha * dangling / n
         new_rank = (
             F.lit(base) + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))
         ).alias("rank")
-        upd = nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-        cols = ["id", new_rank]
+        prev_cols = ["id", "_has_out"] + (
+            [F.col("rank").alias("prev")] if need_delta else []
+        )
+        upd = ranks.select(*prev_cols).join(
+            contrib.withColumnRenamed("dst", "id"), "id", "left"
+        )
+        cols = ["id", new_rank, "_has_out"]
         if need_delta:
-            upd = upd.join(r.select("id", F.col("rank").alias("prev")), "id")
             cols.append("prev")
-        if need_stats:
-            upd = upd.join(has_out, "id", "left")
-            cols.append("_has_out")
         new_ranks = upd.select(*cols)
 
         sync = (it + 1) % sync_every == 0
@@ -167,6 +175,7 @@ def pagerank(
 
     nodes.unpersist()
     norm.unpersist()
+    ranks0.unpersist(blocking=False)
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
