@@ -1,0 +1,118 @@
+"""Bucketed block store — shuffle-free candidate self-joins at 100 TB.
+
+The within-block self-join in :func:`..operators.blocking.candidate_pairs`
+is the pipeline's widest shuffle: both sides of ``keyed JOIN keyed ON _bk``
+hash-exchange every (id, block-key) row.  At 10^12 files that exchange is
+the single largest network event in the run, and it repeats every time the
+pipeline re-blocks (nightly runs, incremental top-ups, re-scores with new
+thresholds).
+
+Spark's answer is table bucketing: persist the keyed frame ONCE as a
+parquet table bucketed (and sorted) by the block key.  Every subsequent
+self-join — tonight's and every future run's — reads co-located buckets
+from both sides and plans a SortMergeJoin with **no Exchange** on either
+side (asserted from the physical plan in tests/test_bucketstore.py, AQE
+on and off).  The bucket-local Sorts that remain are memory-only and the
+baseline shuffle plan runs them anyway — the store removes exactly the
+network exchange.  (The writer also sortBy's each bucket with one file
+per bucket; Spark 4's scan does not currently surface that stored order
+as outputOrdering, so the Sorts are not elided — if a future version
+does, they disappear with no code change here.)  The one-time write
+costs the same shuffle the join would have cost; every reuse after that is
+free.  This is the standard warehouse trade (pay the partitioning once,
+co-locate forever) expressed with plain public Spark APIs:
+``DataFrameWriter.bucketBy(...).sortBy(...).saveAsTable(...)``.
+
+Salting composes: bucket on the SALTED key (``_bk || '#' || _salt``) so a
+hot block's sub-blocks land in (generally) different buckets and the
+within-salt join stays bucket-local.  The store keeps ``_strategy`` so
+per-strategy diagnostics (A1/A2-style block stats) also run bucket-local.
+
+Reference behavior this accelerates: matching/blocking.py:13-150's
+"generate pairs within blocks" — the reference re-groups a pandas frame
+in memory per run; here the grouping is persisted storage layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+from ..plans.lineage import NULL_LINEAGE, LineageLog
+from ..operators.blocking import _salted
+
+PAIR_COLS = ["id_1", "id_2"]
+
+
+def write_block_store(
+    keyed_union: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+) -> None:
+    """Persist a (_id, _bk, _strategy) keyed frame as a bucketed table.
+
+    Applies hot-block salting first (same exact-accounting path as the
+    in-flight planner), folds the salt into the stored key, then writes
+    parquet bucketed+sorted by ``_bk`` at ``path`` (external table, so the
+    data outlives the session catalog).  ``n_buckets`` should be sized so
+    one bucket's worth of the largest strategy fits an executor core —
+    at 10^12 files with ~3 keys/file that is O(10k) buckets, not 64; the
+    default suits the sandbox.
+    """
+    cols = [c for c in ("_id", "_bk", "_strategy") if c in keyed_union.columns]
+    salted = _salted(keyed_union.select(*cols), cfg, lineage)
+    stored = (
+        salted.withColumn(
+            "_bk", F.concat_ws("#", "_bk", F.col("_salt").cast("string"))
+        )
+        .drop("_salt")
+    )
+    (
+        # one shuffle to co-locate each bucket's rows in one task -> exactly
+        # one file per bucket, which is what lets the bucketed read keep the
+        # per-bucket sort order (multi-file buckets force a Sort back in)
+        stored.repartition(n_buckets, "_bk")
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "_bk")
+        .sortBy("_bk")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    lineage.log("block_store.written", table=table, n_buckets=n_buckets)
+
+
+def bucketed_candidate_pairs(
+    spark: SparkSession, table: str, dedup: bool = True
+) -> DataFrame:
+    """B5 candidate pairs from a bucketed block store — the self-join runs
+    bucket-local (no Exchange, no Sort on either join side; the only
+    shuffle left in the plan is the cross-strategy pair dedup, which is
+    O(pairs), not O(keys)).  Set ``dedup=False`` when a single blocking
+    strategy wrote the store (within one strategy a pair appears once per
+    shared block; with one key per record it appears exactly once)."""
+    blocks = spark.table(table)
+    left = blocks.select("_bk", F.col("_id").alias("id_1"))
+    right = blocks.select("_bk", F.col("_id").alias("id_2"))
+    pairs = (
+        left.join(right, "_bk")
+        .where(F.col("id_1") < F.col("id_2"))
+        .select(*PAIR_COLS)
+    )
+    return pairs.dropDuplicates(PAIR_COLS) if dedup else pairs
+
+
+def block_store_stats(spark: SparkSession, table: str) -> DataFrame:
+    """Per-block sizes and pair counts, computed bucket-local (the groupBy
+    key equals the bucket key, so no Exchange): the A1/A2 block-statistics
+    surface over the persisted store."""
+    return (
+        spark.table(table)
+        .groupBy("_bk")
+        .agg(F.count("*").alias("n_records"))
+        .withColumn("n_pairs", F.expr("n_records * (n_records - 1) / 2"))
+    )
