@@ -37,8 +37,23 @@ class SnapshotStore:
     def _path(self, name: str) -> str:
         return os.path.join(self.run_dir, name)
 
+    def _deltas(self, name: str) -> list[str]:
+        """Committed delta directories of an append-mode snapshot, in id
+        order (a delta is committed iff its own _SUCCESS exists)."""
+        base = self._path(name)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            os.path.join(base, d)
+            for d in os.listdir(base)
+            if d.startswith("delta_")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        )
+
     def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+        if os.path.exists(os.path.join(self._path(name), "_SUCCESS")):
+            return True
+        return bool(self._deltas(name))
 
     def commit(self, df: DataFrame, name: str) -> DataFrame:
         """Write-then-rename commit; returns the re-read (materialized)
@@ -51,8 +66,43 @@ class SnapshotStore:
         os.rename(tmp, final)
         return self.spark.read.parquet(final)
 
+    def has_delta(self, name: str, delta_id: int) -> bool:
+        return os.path.exists(
+            os.path.join(self._path(name), f"delta_{delta_id:012d}", "_SUCCESS")
+        )
+
+    def next_delta_id(self, name: str) -> int:
+        deltas = self._deltas(name)
+        if not deltas:
+            return 0
+        return max(int(os.path.basename(d).split("_")[1]) for d in deltas) + 1
+
+    def append(self, df: DataFrame, name: str, delta_id: int) -> bool:
+        """Idempotent append commit: one immutable delta directory per
+        (name, delta_id) — the per-micro-batch write is O(batch), never
+        O(corpus) (the Iceberg fast-append pattern over plain parquet).
+        Replaying a delta_id that is already committed is a no-op; returns
+        whether this call wrote.  A snapshot is either append-mode or
+        whole-commit-mode — don't mix the two under one name."""
+        if self.has_delta(name, delta_id):
+            return False
+        base = self._path(name)
+        os.makedirs(base, exist_ok=True)
+        final = os.path.join(base, f"delta_{delta_id:012d}")
+        tmp = self._path(f"_tmp_{name}_delta_{delta_id:012d}")
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return True
+
     def load(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(name))
+        base = self._path(name)
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            deltas = self._deltas(name)
+            if deltas:
+                return self.spark.read.parquet(*deltas)
+        return self.spark.read.parquet(base)
 
     def stage(self, name: str, build) -> tuple[DataFrame, bool]:
         """Run ``build()`` and commit, or load the existing snapshot.

@@ -15,9 +15,12 @@ resolves each micro-batch against the accumulated corpus via
    INCREMENTALLY: committed components are contracted to single nodes and
    connected components runs over the contracted batch graph only —
    per-batch clustering cost is O(batch edges), not O(corpus);
-6. commit updated snapshots atomically (SnapshotStore) — files last, so a
-   crash mid-batch replays the whole batch against the pre-batch file set
-   (every other commit is idempotent under that replay).
+6. commit updated snapshots atomically (SnapshotStore) — files / keys /
+   edges as O(batch) APPEND deltas keyed by the foreachBatch epoch (a
+   replayed epoch is a delta-level no-op), the merged assignments table as
+   a whole rewrite; files commits last, so a crash mid-batch replays the
+   whole batch against the pre-batch file set and every other commit is
+   idempotent under that replay.
 
 Watermarks/session windows are unnecessary: file identity is keyed by
 (repo, path, commit) — late arrivals are just new rows; exactly-once comes
@@ -46,9 +49,21 @@ def micro_batch_resolve(
     store: SnapshotStore,
     cfg: ResolutionConfig = DEFAULT_CONFIG,
     lineage: LineageLog = NULL_LINEAGE,
+    batch_id: int | None = None,
 ) -> dict[str, int]:
     """Resolve one batch of new files against the committed corpus state.
-    Returns counters (new_files, new_pairs, total_entities)."""
+    Returns counters (new_files, new_pairs, total_entities).
+
+    Write discipline: files / keys / edges are APPEND-mode snapshots — each
+    batch commits one immutable O(batch) delta (``SnapshotStore.append``),
+    so per-batch write cost never grows with the corpus.  Only the merged
+    ``assignments`` table is rewritten whole (on Iceberg that rewrite is a
+    ``MERGE INTO``; see plans/db_sink.merge_into_sql).  ``batch_id`` is the
+    foreachBatch epoch: a crash-replay re-presents the same id, and the
+    already-committed deltas are skipped wholesale; direct (batch-mode)
+    callers may omit it — the id is then derived from the files snapshot,
+    which commits LAST, so a half-committed batch replays under the same
+    derived id and the per-row anti-join guards below still apply."""
     new_files = N.normalize_files(new_raw)
     if store.exists("files"):
         old_files = store.load("files")
@@ -62,6 +77,17 @@ def micro_batch_resolve(
     all_files = all_files.persist()
     new_files = new_files.persist()
     n_new = new_files.count()
+    if n_new == 0 and store.exists("files"):
+        # whole-batch replay of an already-ingested batch: nothing to do
+        n_entities = (
+            store.load("assignments").select("component_id").distinct().count()
+        )
+        lineage.log("stream.batch", new_files=0, new_match_pairs=0,
+                    entities=n_entities, replayed=True)
+        for df in (new_files, all_files):
+            df.unpersist(blocking=False)
+        return {"new_files": 0, "new_pairs": 0, "total_entities": n_entities}
+    delta = batch_id if batch_id is not None else store.next_delta_id("files")
 
     # incremental blocking: NEW keys vs ALL keys (never old-vs-old).  The
     # keyed (_id, _bk) frame is itself a committed snapshot: the MinHash
@@ -72,14 +98,14 @@ def micro_batch_resolve(
         old_keys = store.load("keys")
         # replay guard (mirrors the file_id guard above): a crash between
         # the keys commit and the files commit replays the batch with keys
-        # already committed — the anti-join keeps this commit idempotent
-        # without a corpus-wide dropDuplicates (a file's keys commit
-        # atomically, so filtering on _id alone is sufficient)
+        # already committed — on a replayed batch_id the append below is a
+        # delta-level no-op, and this anti-join additionally keeps the
+        # commit idempotent when the replay arrives under a DIFFERENT
+        # derived id (a file's keys commit atomically, so filtering on _id
+        # alone is sufficient)
         new_keys = new_keys.join(old_keys.select("_id"), "_id", "left_anti")
-        all_keys = old_keys.unionByName(new_keys)
-    else:
-        all_keys = new_keys
-    all_keys = store.commit(all_keys, "keys")  # re-read: UDF ran exactly once
+    store.append(new_keys, "keys", delta)  # O(batch) delta; UDF ran once
+    all_keys = store.load("keys")
     new_key_side = all_keys.join(
         new_files.select(F.col("file_id").alias("_id")), "_id", "left_semi"
     )
@@ -102,11 +128,11 @@ def micro_batch_resolve(
     ).select("id_1", "id_2").persist()
     n_pairs = new_matches.count()
 
-    edges = (
-        store.load("edges").unionByName(new_matches).dropDuplicates(["id_1", "id_2"])
-        if store.exists("edges") else new_matches
-    )
-    edges = store.commit(edges, "edges")
+    # new-vs-all pairing with a genuinely-new side means a new match edge
+    # can never already exist in the snapshot — appends are disjoint by
+    # construction, no cross-delta dedup needed
+    store.append(new_matches, "edges", delta)
+    edges = store.load("edges")
 
     # incremental CC: contract committed components to single nodes and run
     # CC over the CONTRACTED batch graph only — O(batch) edges, not
@@ -147,8 +173,8 @@ def micro_batch_resolve(
             edges, vertices=all_files.select(F.col("file_id").alias("id")),
             cfg=cfg, lineage=lineage,
         )
-    store.commit(assignments, "assignments")
-    store.commit(all_files, "files")
+    store.commit(assignments, "assignments")  # merged table: whole rewrite
+    store.append(new_files, "files", delta)   # commits LAST (replay anchor)
     n_entities = store.load("assignments").select("component_id").distinct().count()
     lineage.log("stream.batch", new_files=n_new, new_match_pairs=n_pairs,
                 entities=n_entities)
@@ -178,7 +204,9 @@ def incremental_resolution_stream(
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        stats = micro_batch_resolve(spark, batch_df, store, cfg, lineage)
+        stats = micro_batch_resolve(
+            spark, batch_df, store, cfg, lineage, batch_id=batch_id
+        )
         lineage.log("stream.batch_done", batch_id=batch_id, **stats)
 
     writer = stream.writeStream.foreachBatch(handle).option(

@@ -69,18 +69,51 @@ def test_keys_commit_idempotent_under_crash_replay(spark, corpus, tmp_path):
     w0, w1 = corpus.where(wave == 0), corpus.where(wave == 1)
     micro_batch_resolve(spark, w0, store)
 
-    # simulate the crash: commit wave-1 keys as a crashed attempt would
-    # have, WITHOUT committing wave-1 files
+    # simulate the crash: a crashed attempt committed wave-1 keys as a
+    # delta (under an id the replay will NOT derive — the harder case,
+    # where delta-level idempotence can't catch it) WITHOUT committing
+    # wave-1 files
     crashed_keys = B.code_file_block_keys(
         N.normalize_files(w1), DEFAULT_CONFIG
     ).select("_id", "_bk")
-    store.commit(store.load("keys").unionByName(crashed_keys), "keys")
+    assert store.append(crashed_keys, "keys", delta_id=999)
     before = store.load("keys").count()
 
     micro_batch_resolve(spark, w1, store)  # the replay
     keys = store.load("keys")
     assert keys.count() == before  # no duplicate key rows accumulated
     assert keys.count() == keys.dropDuplicates(["_id", "_bk"]).count()
+
+    # the easy case: a replay re-presenting the SAME delta id is a no-op
+    assert not store.append(crashed_keys, "keys", delta_id=999)
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def test_append_snapshots_write_o_batch(spark, corpus, tmp_path):
+    """files/keys/edges commit one immutable delta per batch — per-batch
+    write volume is the batch, not the corpus (the assignments table is the
+    only whole rewrite)."""
+    import os
+
+    run_dir = str(tmp_path / "delta_state")
+    store = SnapshotStore(spark, run_dir)
+    wave = F.abs(F.xxhash64("repo", "path", "commit")) % 3
+    per_wave = []
+    for i in range(3):
+        stats = micro_batch_resolve(spark, corpus.where(wave == i), store,
+                                    batch_id=i)
+        per_wave.append(stats["new_files"])
+
+    for name in ("files", "keys", "edges"):
+        deltas = sorted(os.listdir(os.path.join(run_dir, name)))
+        assert deltas == [f"delta_{i:012d}" for i in range(3)], (name, deltas)
+    # each files delta holds exactly its own wave
+    for i in range(3):
+        d = spark.read.parquet(os.path.join(run_dir, "files",
+                                            f"delta_{i:012d}"))
+        assert d.count() == per_wave[i]
+    # and the union view equals the whole corpus
+    assert store.load("files").count() == sum(per_wave) == corpus.count()
     shutil.rmtree(run_dir, ignore_errors=True)
 
 
