@@ -106,11 +106,19 @@ def micro_batch_resolve(
         new_keys = new_keys.join(old_keys.select("_id"), "_id", "left_anti")
     store.append(new_keys, "keys", delta)  # O(batch) delta; UDF ran once
     all_keys = store.load("keys")
+    # derived from the COMMITTED snapshot (not the in-flight new_keys) so a
+    # crash-replay whose keys delta already landed still regenerates the
+    # batch's candidate pairs
     new_key_side = all_keys.join(
-        new_files.select(F.col("file_id").alias("_id")), "_id", "left_semi"
+        F.broadcast(new_files.select(F.col("file_id").alias("_id"))),
+        "_id", "left_semi",
     )
+    # broadcast the batch-bounded side: the corpus-sized all_keys scan
+    # never exchanges for this join (the static planner sizes new_key_side
+    # by its corpus-scan parent and would shuffle BOTH sides on _bk; the
+    # hint is deterministic where AQE's runtime fix is best-effort)
     cand = (
-        new_key_side.withColumnRenamed("_id", "id_new")
+        F.broadcast(new_key_side.withColumnRenamed("_id", "id_new"))
         .join(all_keys.withColumnRenamed("_id", "id_any"), "_bk")
         .where(F.col("id_new") != F.col("id_any"))
         .select(
@@ -140,10 +148,22 @@ def micro_batch_resolve(
     # old component ids are min member ids, and min over merged components
     # is the min of their contracted ids; untouched components (absent from
     # the contracted graph) keep their assignment verbatim.
+    # Join discipline for everything touching the corpus-sized old_assign:
+    # filter the corpus by the BROADCAST batch first (a scan, no exchange),
+    # then join small-small.  A naive new_matches LEFT JOIN old_assign
+    # cannot broadcast (left-outer builds right), so it would exchange the
+    # corpus on id every batch.
     if store.exists("assignments"):
         old_assign = store.load("assignments")
-        m1 = old_assign.select(F.col("id").alias("id_1"), F.col("component_id").alias("_c1"))
-        m2 = old_assign.select(F.col("id").alias("id_2"), F.col("component_id").alias("_c2"))
+        batch_ids = (
+            new_matches.select(F.col("id_1").alias("id"))
+            .unionByName(new_matches.select(F.col("id_2").alias("id")))
+            .distinct()
+        )
+        # batch-bounded slice of the committed assignments: one corpus scan
+        touched = old_assign.join(F.broadcast(batch_ids), "id", "left_semi").persist()
+        m1 = touched.select(F.col("id").alias("id_1"), F.col("component_id").alias("_c1"))
+        m2 = touched.select(F.col("id").alias("id_2"), F.col("component_id").alias("_c2"))
         contracted = (
             new_matches.join(m1, "id_1", "left").join(m2, "id_2", "left")
             .select(
@@ -152,33 +172,39 @@ def micro_batch_resolve(
             )
         )
         merge_map = G.connected_components(contracted, cfg=cfg, lineage=lineage)
+        # remap is bounded by the contracted batch graph — broadcast-safe
         remap = merge_map.select(
             F.col("id").alias("component_id"), F.col("component_id").alias("_new_c")
         )
-        carried = old_assign.join(remap, "component_id", "left").select(
+        carried = old_assign.join(F.broadcast(remap), "component_id", "left").select(
             "id", F.coalesce("_new_c", F.col("component_id")).alias("component_id")
         )
+        new_ids = new_files.select(F.col("file_id").alias("id"))
+        # replay guard: a crash between the assignments and files commits
+        # replays the batch with assignments already updated — without this
+        # exclusion those ids would appear twice.  `already` is the corpus
+        # rows matching the batch's ids (scan + broadcast semi), so the
+        # anti-join itself is small-small.
+        already = old_assign.join(F.broadcast(new_ids), "id", "left_semi")
         fresh = (
-            new_files.select(F.col("file_id").alias("id"))
-            # replay guard: a crash between the assignments and files commits
-            # replays the batch with assignments already updated — without
-            # this anti-join those ids would appear twice
-            .join(old_assign.select("id"), "id", "left_anti")
+            new_ids.join(already.select("id"), "id", "left_anti")
             .join(merge_map.withColumnRenamed("component_id", "_new_c"), "id", "left")
             .select("id", F.coalesce("_new_c", F.col("id")).alias("component_id"))
         )
         assignments = carried.unionByName(fresh)
+        to_unpersist = [touched]
     else:
         assignments = G.connected_components(
             edges, vertices=all_files.select(F.col("file_id").alias("id")),
             cfg=cfg, lineage=lineage,
         )
+        to_unpersist = []
     store.commit(assignments, "assignments")  # merged table: whole rewrite
     store.append(new_files, "files", delta)   # commits LAST (replay anchor)
     n_entities = store.load("assignments").select("component_id").distinct().count()
     lineage.log("stream.batch", new_files=n_new, new_match_pairs=n_pairs,
                 entities=n_entities)
-    for df in (new_matches, new_files, all_files):
+    for df in (new_matches, new_files, all_files, *to_unpersist):
         df.unpersist(blocking=False)
     return {"new_files": n_new, "new_pairs": n_pairs, "total_entities": n_entities}
 
