@@ -291,7 +291,10 @@ def q_dedup_ngram_jaccard(spark, sf):
     n1, n2 = F.size("t1").cast("double"), F.size("t2").cast("double")
     pairs = pairs.where(F.least(n1, n2) >= 0.5 * F.greatest(n1, n2))
     inter = F.size(F.array_intersect("t1", "t2")).cast("double")
-    union = F.size(F.array_union("t1", "t2")).cast("double")
+    # |A∪B| = |A|+|B|−|A∩B| exactly (both arrays are array_distinct) —
+    # skips the per-pair union hash-set build, the costlier of the two
+    # array passes; F.size on an array column is O(1)
+    union = n1 + n2 - inter
     jac = inter / union
     return pairs.select("id_1", "id_2", F.round(jac, 6).alias("jaccard")).where(
         F.col("jaccard") >= 0.5
@@ -772,8 +775,11 @@ def q_dedup_minhash_portable(spark, sf):
     g1 = basel.select(F.col("id").alias("id_1"), F.col("sh").alias("sh1"))
     g2 = basel.select(F.col("id").alias("id_2"), F.col("sh").alias("sh2"))
     verified = pre.join(g1, "id_1").join(g2, "id_2")
-    jac = (F.size(F.array_intersect("sh1", "sh2")).cast("double")
-           / F.size(F.array_union("sh1", "sh2")).cast("double"))
+    inter_v = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    # |A∪B| via sizes (arrays are distinct): one array pass per pair, not two
+    jac = inter_v / (
+        F.size("sh1").cast("double") + F.size("sh2").cast("double") - inter_v
+    )
     return verified.select(
         "id_1", "id_2", F.floor(jac * 1e6).alias("jaccard_micro")
     ).where(F.col("jaccard_micro") >= 600000)

@@ -156,7 +156,9 @@ def minhash_near_duplicates(
     g1 = state.select(F.col("id").alias("id_1"), F.col("_shn").alias("_h1"))
     g2 = state.select(F.col("id").alias("id_2"), F.col("_shn").alias("_h2"))
     inter = F.size(F.array_intersect("_h1", "_h2")).cast("double")
-    union = F.size(F.array_union("_h1", "_h2")).cast("double")
+    # |A∪B| = |A|+|B|−|A∩B| exactly (shingle-hash arrays are distinct);
+    # skips the per-pair union hash-set build — one array pass, not two
+    union = F.size("_h1").cast("double") + F.size("_h2").cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
     return (
         tier1.join(g1, "id_1").join(g2, "id_2")
@@ -270,7 +272,8 @@ def ngram_jaccard_pairs(
     n1, n2 = F.size("g1").cast("double"), F.size("g2").cast("double")
     pairs = pairs.where(F.least(n1, n2) >= threshold * F.greatest(n1, n2))
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
-    union = F.size(F.array_union("g1", "g2")).cast("double")
+    # |A∪B| via sizes (grams are array_distinct): one array pass per pair
+    union = n1 + n2 - inter
     return pairs.select(
         "id_1", "id_2", (inter / union).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
