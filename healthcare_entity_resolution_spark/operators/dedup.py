@@ -126,8 +126,9 @@ def minhash_near_duplicates(
     candidate ids travel alone through the salted band self-join; the tier-1
     join ships only the fixed-width signature (num_perm longs, ~0.5 KB); the
     full shingle-hash arrays are joined only for tier-1 survivors, and the
-    exact Jaccard runs as JVM array_intersect/array_union — no Python after
-    the state pass.  ``est_slack`` defaults to 3 standard errors of the
+    exact Jaccard runs as one JVM array_intersect pass (union size by
+    arithmetic over the distinct-array sizes) — no Python after the state
+    pass.  ``est_slack`` defaults to 3 standard errors of the
     signature estimator (3 * sqrt(t(1-t)/num_perm)), so recall loss vs the
     always-exact variant is the binomial tail beyond 3 sigma (<~0.2%)."""
     num_perm = cfg.minhash_permutations
@@ -160,11 +161,19 @@ def minhash_near_duplicates(
     # skips the per-pair union hash-set build — one array pass, not two
     union = F.size("_h1").cast("double") + F.size("_h2").cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
-    return (
+    out = (
         tier1.join(g1, "id_1").join(g2, "id_2")
         .select("id_1", "id_2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= jaccard_threshold)
     )
+    # eager checkpoint so the corpus-sized doc-state cache can be released
+    # before returning — repeated calls in one session must not accumulate
+    # cached signature/shingle blocks (same discipline as candidate_pairs)
+    from ._ckpt import checkpoint as _checkpoint
+
+    out = _checkpoint(out)
+    state.unpersist(blocking=False)
+    return out
 
 
 def near_duplicate_groups(

@@ -176,12 +176,16 @@ def detect_overmatching(
     records: DataFrame | None = None,
     assignments: DataFrame | None = None,
     edges: DataFrame | None = None,
+    diagnostics: DataFrame | None = None,
 ) -> DataFrame:
     """G11 (graph/overmatching.py:10-97): heuristic flags per cluster.
     Pass ``records`` + ``assignments`` to enable the incompatible-specialty
     check (the reference's check #3); pass ``edges`` too to enable the
     weak-bridge check (#5, overmatching.py:64-70: the cluster hangs on one
-    or more bridge edges with weight < 0.5)."""
+    or more bridge edges with weight < 0.5).  If the caller already ran
+    :func:`component_graph_diagnostics` (the G12 surface), pass its output
+    as ``diagnostics`` so the per-component networkx pass — the most
+    expensive Python stage here — is not run a second time."""
     if records is not None and assignments is not None:
         sc = specialty_conflicts(records, assignments)
         quality = quality.join(sc, "component_id", "left").withColumn(
@@ -189,10 +193,10 @@ def detect_overmatching(
         )
     else:
         quality = quality.withColumn("specialty_conflict", F.lit(False))
-    if edges is not None and assignments is not None:
-        wb = component_graph_diagnostics(edges, assignments).select(
-            "component_id", "n_weak_bridges"
-        )
+    if diagnostics is not None or (edges is not None and assignments is not None):
+        if diagnostics is None:
+            diagnostics = component_graph_diagnostics(edges, assignments)
+        wb = diagnostics.select("component_id", "n_weak_bridges")
         quality = quality.join(wb, "component_id", "left").withColumn(
             "n_weak_bridges", F.coalesce("n_weak_bridges", F.lit(0))
         )

@@ -94,7 +94,8 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
             if marker == 0xFF:  # fill byte
                 i += 1
                 continue
-            if 0xD0 <= marker <= 0xD9:  # RSTn/SOI/EOI: standalone
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                # TEM/RSTn/SOI/EOI: standalone markers, no length word
                 i += 2
                 continue
             if i + 4 > n:

@@ -173,6 +173,13 @@ def pagerank(
     elif not converged:
         lineage.log("pagerank.max_iterations_hit", iterations=n_iter)
 
+    if not need_stats and n_iter % sync_every != 0:
+        # lazy-chained tail (fixed_iter, dangling-free, n_iter not a sync
+        # multiple): materialize it NOW, while norm/ranks0 are still cached —
+        # otherwise the caller's first action replays the tail (whose plan
+        # references `ranks` twice per lazy iteration) against unpersisted
+        # inputs
+        ranks = _checkpoint(ranks, prefer_local=True)
     nodes.unpersist()
     norm.unpersist()
     ranks0.unpersist(blocking=False)

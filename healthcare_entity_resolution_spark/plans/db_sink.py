@@ -27,6 +27,15 @@ from typing import Callable, Iterable, Sequence
 from pyspark.sql import DataFrame
 
 
+_PLACEHOLDER = {"postgres": "%s", "sqlite": "?"}
+
+
+def _check_dialect(fn: str, dialect: str) -> str:
+    if dialect not in _PLACEHOLDER:
+        raise ValueError(f"{fn}: unsupported dialect {dialect!r}")
+    return _PLACEHOLDER[dialect]
+
+
 def upsert_statement(
     table: str,
     cols: Sequence[str],
@@ -35,10 +44,11 @@ def upsert_statement(
 ) -> str:
     """The reference's pg ``on_conflict_do_update`` (bulk.py:65-82) as a
     plain parameterized statement.  ``dialect`` 'postgres' and 'sqlite'
-    share the grammar; every non-key column is overwritten from
-    ``excluded`` like the reference's ``set_`` map."""
-    if dialect not in ("postgres", "sqlite"):
-        raise ValueError(f"upsert_statement: unsupported dialect {dialect!r}")
+    share the ON CONFLICT grammar but not the DBAPI paramstyle — psycopg2
+    et al. are 'format' (%s), sqlite3 is 'qmark' (?).  Every non-key
+    column is overwritten from ``excluded`` like the reference's ``set_``
+    map."""
+    ph = _check_dialect("upsert_statement", dialect)
     update_cols = [c for c in cols if c not in conflict_cols]
     if not update_cols:
         action = "NOTHING"
@@ -47,16 +57,18 @@ def upsert_statement(
         action = f"UPDATE SET {sets}"
     return (
         f"INSERT INTO {table} ({', '.join(cols)}) "
-        f"VALUES ({', '.join('?' for _ in cols)}) "
+        f"VALUES ({', '.join(ph for _ in cols)}) "
         f"ON CONFLICT ({', '.join(conflict_cols)}) DO {action}"
     )
 
 
-def insert_statement(table: str, cols: Sequence[str]) -> str:
+def insert_statement(table: str, cols: Sequence[str],
+                     dialect: str = "postgres") -> str:
     """Plain-insert form of the same batch writer (bulk.py:31-50)."""
+    ph = _check_dialect("insert_statement", dialect)
     return (
         f"INSERT INTO {table} ({', '.join(cols)}) "
-        f"VALUES ({', '.join('?' for _ in cols)})"
+        f"VALUES ({', '.join(ph for _ in cols)})"
     )
 
 
@@ -84,7 +96,7 @@ def write_dbapi_upsert(
     """
     cols = list(df.columns)
     stmt = (
-        insert_statement(table, cols)
+        insert_statement(table, cols, dialect)
         if not conflict_cols
         else upsert_statement(table, cols, conflict_cols, dialect)
     )

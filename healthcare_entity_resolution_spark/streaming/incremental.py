@@ -88,6 +88,19 @@ def micro_batch_resolve(
             df.unpersist(blocking=False)
         return {"new_files": 0, "new_pairs": 0, "total_entities": n_entities}
     delta = batch_id if batch_id is not None else store.next_delta_id("files")
+    if store.has_delta("files", delta):
+        # The files delta for this epoch is already committed, yet the batch
+        # contains files the snapshot has never seen (n_new > 0): the caller
+        # is replaying epoch ids against the wrong run_dir (e.g. the stream
+        # checkpoint was reset but the snapshot store was not).  Proceeding
+        # would silently skip the files/keys/edges appends and strand the
+        # new files as assignment-only singletons.
+        raise ValueError(
+            f"micro_batch_resolve: epoch {delta} is already committed in "
+            f"{store.run_dir!r} but this batch still has {n_new} un-ingested "
+            "files — stream checkpoint and snapshot store are out of sync "
+            "(reset both together, or resume from the original checkpoint)"
+        )
 
     # incremental blocking: NEW keys vs ALL keys (never old-vs-old).  The
     # keyed (_id, _bk) frame is itself a committed snapshot: the MinHash

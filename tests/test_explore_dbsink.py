@@ -171,9 +171,14 @@ def test_statement_generation():
         "WHEN MATCHED THEN UPDATE SET t.v = s.v "
         "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
     )
-    assert DB.insert_statement("t", ["a", "b"]) == (
+    assert DB.insert_statement("t", ["a", "b"], dialect="sqlite") == (
         "INSERT INTO t (a, b) VALUES (?, ?)"
     )
+    # DBAPI paramstyle follows the dialect: psycopg2-family is 'format'
+    assert DB.insert_statement("t", ["a", "b"]) == (
+        "INSERT INTO t (a, b) VALUES (%s, %s)"
+    )
+    assert "VALUES (%s, %s)" in DB.upsert_statement("t", ["a", "b"], ["a"])
 
 
 def test_dbapi_upsert_end_to_end(spark, tmp_path):
@@ -224,7 +229,7 @@ def test_dbapi_plain_insert(spark, tmp_path):
         c.execute("CREATE TABLE t (a INTEGER, b TEXT)")
     connect = functools.partial(sqlite3.connect, db)
     df = spark.range(5).selectExpr("id AS a", "cast(id AS string) AS b")
-    DB.write_dbapi_upsert(df.coalesce(1), connect, "t")
+    DB.write_dbapi_upsert(df.coalesce(1), connect, "t", dialect="sqlite")
     with sqlite3.connect(db) as c:
         assert c.execute("SELECT count(*) FROM t").fetchone()[0] == 5
 

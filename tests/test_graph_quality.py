@@ -105,11 +105,18 @@ def test_detect_overmatching_weak_bridge_flag(spark):
     assert "weak_bridge" in flags.get(comp_of["a"], [])
     assert comp_of["x"] not in flags  # no flags at all for the strong path
 
-    diag = {r.component_id: r for r in
-            GR.component_graph_diagnostics(e, assign).collect()}
+    diag_df = GR.component_graph_diagnostics(e, assign)
+    diag = {r.component_id: r for r in diag_df.collect()}
     assert diag[comp_of["a"]].n_weak_bridges == 1
     assert diag[comp_of["x"]].n_bridges == 2
     assert diag[comp_of["x"]].n_weak_bridges == 0
+
+    # precomputed diagnostics reuse: same flags, no second networkx pass
+    flags2 = {r.component_id: list(r.overmatch_flags)
+              for r in GR.detect_overmatching(
+                  quality, records=recs, assignments=assign,
+                  diagnostics=diag_df).collect()}
+    assert flags2 == flags
 
 
 def test_suggest_cluster_splits(spark):

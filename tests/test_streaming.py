@@ -117,6 +117,22 @@ def test_append_snapshots_write_o_batch(spark, corpus, tmp_path):
     shutil.rmtree(run_dir, ignore_errors=True)
 
 
+def test_epoch_collision_raises(spark, corpus, tmp_path):
+    """Replaying a committed epoch id with UNSEEN files means the stream
+    checkpoint and the snapshot store are out of sync — silently skipping
+    the append deltas would strand those files; it must raise instead."""
+    run_dir = str(tmp_path / "collide_state")
+    store = SnapshotStore(spark, run_dir)
+    wave = F.abs(F.xxhash64("repo", "path", "commit")) % 3
+    micro_batch_resolve(spark, corpus.where(wave == 0), store, batch_id=0)
+    with pytest.raises(ValueError, match="out of sync"):
+        micro_batch_resolve(spark, corpus.where(wave == 1), store, batch_id=0)
+    # the same epoch with the SAME (already-ingested) data stays a no-op
+    stats = micro_batch_resolve(spark, corpus.where(wave == 0), store, batch_id=0)
+    assert stats["new_files"] == 0
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+
 def test_readstream_available_now(spark, corpus, tmp_path):
     in_dir = str(tmp_path / "drops")
     run_dir = str(tmp_path / "state")

@@ -312,6 +312,14 @@ def test_decode_image_real_headers(spark):
     assert M.parse_image_header(_png_bytes(7, 9, 2)) == (7, 9, 3)
     assert M.parse_image_header(b"") is None
 
+    # standalone markers before SOF must not be read as length-prefixed
+    # segments: TEM (0xFF 0x01) and RST0 carry no length word
+    import struct as _st
+    sof = (b"\xff\xc0" + _st.pack(">H", 11) + b"\x08"
+           + _st.pack(">HH", 5, 6) + b"\x01\x01\x11\x00")
+    with_tem = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd0" + sof + b"\xff\xd9"
+    assert M.parse_image_header(with_tem) == (6, 5, 1)
+
 
 def test_lsh_index_partition_pruning(spark, tmp_path):
     """The on-disk LSH index must be read with PartitionFilters on the
