@@ -37,18 +37,32 @@ class SnapshotStore:
     def _path(self, name: str) -> str:
         return os.path.join(self.run_dir, name)
 
-    def _deltas(self, name: str) -> list[str]:
-        """Committed delta directories of an append-mode snapshot, in id
-        order (a delta is committed iff its own _SUCCESS exists)."""
+    def _committed_dirs(self, name: str, prefix: str) -> dict[int, str]:
+        """{id: path} of committed sub-dirs (own _SUCCESS) named
+        ``<prefix>_<12-digit id>`` under the snapshot."""
         base = self._path(name)
         if not os.path.isdir(base):
-            return []
-        return sorted(
-            os.path.join(base, d)
-            for d in os.listdir(base)
-            if d.startswith("delta_")
-            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-        )
+            return {}
+        out: dict[int, str] = {}
+        for d in os.listdir(base):
+            if d.startswith(prefix + "_") and os.path.exists(
+                os.path.join(base, d, "_SUCCESS")
+            ):
+                out[int(d.rsplit("_", 1)[1])] = os.path.join(base, d)
+        return out
+
+    def _deltas(self, name: str) -> list[str]:
+        """Directories an append-mode read must union, in id order: the
+        newest ``compact_<id>`` rewrite (if any) plus every ``delta_<i>``
+        with i > id.  Older deltas/compacts are superseded — a compaction
+        crash that leaves them behind cannot double-count rows."""
+        deltas = self._committed_dirs(name, "delta")
+        compacts = self._committed_dirs(name, "compact")
+        floor = max(compacts) if compacts else -1
+        paths = ([] if floor < 0 else [compacts[floor]]) + [
+            p for i, p in sorted(deltas.items()) if i > floor
+        ]
+        return paths
 
     def exists(self, name: str) -> bool:
         if os.path.exists(os.path.join(self._path(name), "_SUCCESS")):
@@ -71,11 +85,14 @@ class SnapshotStore:
             os.path.join(self._path(name), f"delta_{delta_id:012d}", "_SUCCESS")
         )
 
+    def _max_id(self, name: str) -> int:
+        ids = set(self._committed_dirs(name, "delta")) | set(
+            self._committed_dirs(name, "compact")
+        )
+        return max(ids) if ids else -1
+
     def next_delta_id(self, name: str) -> int:
-        deltas = self._deltas(name)
-        if not deltas:
-            return 0
-        return max(int(os.path.basename(d).split("_")[1]) for d in deltas) + 1
+        return self._max_id(name) + 1
 
     def append(self, df: DataFrame, name: str, delta_id: int) -> bool:
         """Idempotent append commit: one immutable delta directory per
@@ -86,6 +103,16 @@ class SnapshotStore:
         whole-commit-mode — don't mix the two under one name."""
         if self.has_delta(name, delta_id):
             return False
+        compacts = self._committed_dirs(name, "compact")
+        if compacts and delta_id <= max(compacts):
+            # reads start at the newest compaction (which covers every id
+            # up to its own): a delta filed at or below it would be
+            # committed but INVISIBLE — refuse loudly
+            raise ValueError(
+                f"append: delta id {delta_id} for {name!r} is covered by "
+                f"the newest compaction ({max(compacts)}) and would never "
+                "be read — use next_delta_id()"
+            )
         base = self._path(name)
         os.makedirs(base, exist_ok=True)
         final = os.path.join(base, f"delta_{delta_id:012d}")
@@ -95,6 +122,34 @@ class SnapshotStore:
             shutil.rmtree(final)
         os.rename(tmp, final)
         return True
+
+    def compact(self, name: str) -> int:
+        """Rewrite an append-mode snapshot's current view into a single
+        ``compact_<id>`` directory so reads stop unioning per-batch deltas
+        (the Delta-Lake/_last_checkpoint pattern).  Reads switch to the new
+        compaction the moment its _SUCCESS lands; the superseded delta and
+        compact directories are then deleted best-effort — a crash at ANY
+        point leaves a readable, non-double-counting state (stragglers
+        below the compaction floor are ignored by ``load``).  Returns the
+        compaction id.  Single concurrent writer assumed (the foreachBatch
+        driver), like every other commit here."""
+        parts = self._deltas(name)
+        if not parts:
+            raise ValueError(f"compact: {name!r} has no committed deltas")
+        # the compaction is named for the highest id it COVERS (not a fresh
+        # id): the epoch sequence stays with the writer, so the next
+        # micro-batch's append(new_id = covered_max + 1) never collides
+        new_id = self._max_id(name)
+        base = self._path(name)
+        final = os.path.join(base, f"compact_{new_id:012d}")
+        if [final] == parts:  # already fully compacted: no-op
+            return new_id
+        tmp = self._path(f"_tmp_{name}_compact_{new_id:012d}")
+        self.spark.read.parquet(*parts).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+        for p in parts:  # superseded; unread even if deletion crashes
+            shutil.rmtree(p, ignore_errors=True)
+        return new_id
 
     def load(self, name: str) -> DataFrame:
         base = self._path(name)

@@ -230,12 +230,15 @@ def incremental_resolution_stream(
     lineage: LineageLog = NULL_LINEAGE,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """readStream(parquet dir) -> foreachBatch(micro_batch_resolve).
 
     ``available_now=True`` drains everything currently in the directory and
     stops — the batch-backfill mode; ``False`` keeps running for new drops.
-    Returns the StreamingQuery.
+    ``compact_every=K`` folds the append-delta chains (files/keys/edges)
+    into one directory every K batches, so a long-running stream's reads
+    never union thousands of per-batch deltas.  Returns the StreamingQuery.
     """
     store = SnapshotStore(spark, run_dir)
     schema = ("repo string, path string, commit string, lang string, "
@@ -247,6 +250,11 @@ def incremental_resolution_stream(
             spark, batch_df, store, cfg, lineage, batch_id=batch_id
         )
         lineage.log("stream.batch_done", batch_id=batch_id, **stats)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            for name in ("files", "keys", "edges"):
+                if store.exists(name):
+                    store.compact(name)
+            lineage.log("stream.compacted", batch_id=batch_id)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir or f"{run_dir}/_stream_checkpoint"

@@ -110,3 +110,46 @@ def test_html_run_report(spark, tmp_path):
     assert "<html" in text and "Cluster size distribution" in text
     assert "Match quality" in text and "svg" in text
     assert "entities" in text
+
+
+def test_append_compact_roundtrip(spark, tmp_path):
+    """Compaction folds the delta chain into one compact_<covered_max> dir:
+    reads are unchanged, superseded deltas are gone, the epoch sequence is
+    undisturbed, and a covered id can never be appended (it would be
+    invisible)."""
+    import os
+
+    import pytest
+    from healthcare_entity_resolution_spark.plans.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "c_state"))
+    for i in range(3):
+        assert store.append(
+            spark.createDataFrame([(i, f"v{i}")], "k int, v string"), "t", i
+        )
+    assert store.next_delta_id("t") == 3
+
+    cid = store.compact("t")
+    assert cid == 2  # named for the max id it covers, NOT a fresh epoch
+    rows = sorted(map(tuple, store.load("t").collect()))
+    assert rows == [(0, "v0"), (1, "v1"), (2, "v2")]
+    base = str(tmp_path / "c_state" / "t")
+    assert sorted(os.listdir(base)) == ["compact_000000000002"]
+
+    # compacting an already-compacted snapshot is a no-op
+    assert store.compact("t") == 2
+
+    # the epoch sequence continues past the compaction untouched
+    assert store.next_delta_id("t") == 3
+    assert store.append(
+        spark.createDataFrame([(3, "v3")], "k int, v string"), "t", 3
+    )
+    assert store.load("t").count() == 4
+    assert store.compact("t") == 3
+    assert store.load("t").count() == 4
+
+    # a covered id would be committed but never read — must refuse
+    with pytest.raises(ValueError, match="covered"):
+        store.append(
+            spark.createDataFrame([(9, "x")], "k int, v string"), "t", 1
+        )

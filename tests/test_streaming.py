@@ -138,12 +138,17 @@ def test_readstream_available_now(spark, corpus, tmp_path):
     run_dir = str(tmp_path / "state")
     corpus.limit(40).write.mode("overwrite").parquet(in_dir)
 
-    q = incremental_resolution_stream(spark, in_dir, run_dir)
+    q = incremental_resolution_stream(spark, in_dir, run_dir, compact_every=1)
     q.awaitTermination(300)
     store = SnapshotStore(spark, run_dir)
     assert store.exists("assignments")
     n = store.load("assignments").count()
     assert n == 40
+    # compact_every folded the per-batch deltas; reads are unchanged
+    import os
+    assert any(d.startswith("compact_")
+               for d in os.listdir(os.path.join(run_dir, "files")))
+    assert store.load("files").count() == 40
     shutil.rmtree(run_dir, ignore_errors=True)
 
 
