@@ -153,3 +153,47 @@ def test_append_compact_roundtrip(spark, tmp_path):
         store.append(
             spark.createDataFrame([(9, "x")], "k int, v string"), "t", 1
         )
+
+
+def test_append_compact_replay_state_machine(spark, tmp_path):
+    """Randomized protocol check: under any interleaving of appends,
+    duplicate-epoch replays, and compactions, the snapshot view equals
+    exactly the union of the unique committed batches — no loss, no
+    double-counting."""
+    import random
+
+    from healthcare_entity_resolution_spark.plans.snapshots import SnapshotStore
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        store = SnapshotStore(spark, str(tmp_path / f"sm_{seed}"))
+        expected: dict[int, list[tuple]] = {}
+        next_id = 0
+        for _ in range(12):
+            op = rng.choice(["append", "replay", "compact", "compact"])
+            if op == "append" or not expected:
+                rows = [(next_id, j) for j in range(rng.randint(1, 3))]
+                assert store.append(
+                    spark.createDataFrame(rows, "epoch int, j int"),
+                    "sm", next_id,
+                )
+                expected[next_id] = rows
+                next_id += 1
+            elif op == "replay":
+                # a crash-replay re-presents a random committed epoch; the
+                # delta either still exists (no-op False) or was compacted
+                # away (append must refuse rather than double-commit)
+                eid = rng.choice(sorted(expected))
+                try:
+                    wrote = store.append(
+                        spark.createDataFrame([(eid, 99)], "epoch int, j int"),
+                        "sm", eid,
+                    )
+                    assert wrote is False
+                except ValueError:
+                    pass  # covered by a compaction: refused loudly
+            else:
+                store.compact("sm")
+            got = sorted(map(tuple, store.load("sm").collect()))
+            want = sorted(t for rows in expected.values() for t in rows)
+            assert got == want, (seed, op, got, want)
