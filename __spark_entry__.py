@@ -874,7 +874,13 @@ def q_n5_colleague_merge(spark, sf):
             "primary_facility"
         ),
     )
-    return NW.merge_colleague_edges(NW.colleague_pairs(ents))
+    out = NW.merge_colleague_edges(NW.colleague_pairs(ents))
+    # Array columns crash the driver's pandas sort_values canonicalizer
+    # (unhashable list) — stringify, same pattern as q_g11_overmatch.
+    return out.select(
+        "id_1", "id_2", "strength",
+        F.concat_ws("|", "relation_types").alias("relation_types"),
+    )
 
 
 def q_n2_pagerank(spark, sf):
@@ -905,7 +911,9 @@ def q_g13_cluster_quality(spark, sf):
         F.coalesce("avg_weight", F.lit(-1.0)).alias("avg_weight"),
         F.coalesce("min_weight", F.lit(-1.0)).alias("min_weight"),
         "density", "npi_count", "state_count", "source_count", "npi_conflict",
-        "quality_score", "warnings",
+        "quality_score",
+        # stringified: array columns crash the driver's pandas canonicalizer
+        F.concat_ws("|", "warnings").alias("warnings"),
     )
 
 
@@ -1859,12 +1867,14 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) AS referral_count FROM events "
             " WHERE user_id != event_id % 50 GROUP BY 1, 2), "
             "o AS (SELECT src AS id, count(*) AS out_degree, "
-            "  sum(referral_count) AS out_volume FROM e GROUP BY src), "
+            "  CAST(sum(referral_count) AS BIGINT) AS out_volume FROM e GROUP BY src), "
             "i AS (SELECT dst AS id, count(*) AS in_degree, "
-            "  sum(referral_count) AS in_volume FROM e GROUP BY dst) "
+            "  CAST(sum(referral_count) AS BIGINT) AS in_volume FROM e GROUP BY dst) "
             "SELECT coalesce(o.id, i.id) AS id, "
-            " coalesce(out_degree, 0) AS out_degree, coalesce(out_volume, 0) AS out_volume, "
-            " coalesce(in_degree, 0) AS in_degree, coalesce(in_volume, 0) AS in_volume "
+            " CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree, "
+            " CAST(coalesce(out_volume, 0) AS BIGINT) AS out_volume, "
+            " CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree, "
+            " CAST(coalesce(in_volume, 0) AS BIGINT) AS in_volume "
             "FROM o FULL JOIN i ON o.id = i.id"
         ),
         "n5_colleague_merge": (
@@ -1874,7 +1884,7 @@ def oracle_sql() -> dict[str, str]:
             " HAVING count(*) >= 2 AND count(*) <= 100), "
             "fac AS (SELECT e.* FROM ent e JOIN keep k ON e.facility = k.facility) "
             "SELECT a.id AS id_1, b.id AS id_2, 0.5 AS strength, "
-            " ['same_facility'] AS relation_types "
+            " 'same_facility' AS relation_types "
             "FROM fac a JOIN fac b ON a.facility = b.facility AND a.id < b.id "
             "GROUP BY a.id, b.id"
         ),
@@ -1901,11 +1911,11 @@ def oracle_sql() -> dict[str, str]:
             " round(coalesce(avg_weight, 0.5) * "
             "  CASE WHEN npi_count > 1 THEN 0.1 ELSE 1.0 END * "
             "  CASE WHEN size > 50 THEN 0.5 ELSE 1.0 END, 6) AS quality_score, "
-            " list_filter([CASE WHEN npi_count > 1 THEN 'npi_conflict' END, "
+            " coalesce(array_to_string(list_filter([CASE WHEN npi_count > 1 THEN 'npi_conflict' END, "
             "  CASE WHEN size > 50 THEN 'large_cluster' END, "
             "  CASE WHEN state_count > 3 THEN 'many_states' END, "
             "  CASE WHEN coalesce(min_weight, 1.0) < 0.40 THEN 'weak_edge' END], "
-            "  x -> x IS NOT NULL) AS warnings "
+            "  x -> x IS NOT NULL), '|'), '') AS warnings "
             "FROM j"
         ),
     }

@@ -1,13 +1,25 @@
-"""Local re-implementation of the driver's Spark-vs-DuckDB comparison:
-row count + schema-insensitive, order-insensitive value comparison with
-columns sorted by name.  Used by tests/test_entry.py and iterated manually.
+"""Local re-implementation of the driver's Spark-vs-DuckDB comparison.
+
+Driver-faithful on purpose: the driver canonicalizes BOTH results through
+pandas (columns sorted by name, `sort_values` over all columns, then a
+type-sensitive value hash).  Round 3 taught us that a lenient local harness
+hides driver failures:
+
+- list/array result columns crash pandas ``sort_values``
+  (``TypeError: unhashable type: 'list'``) -> driver ERR;
+- DuckDB ``sum(BIGINT)`` returns HUGEINT which lands in pandas as float64,
+  so ``55.0`` hashes differently from Spark's int64 ``55`` even when rows
+  and schema match -> driver hash FAIL.
+
+So this harness goes through pandas on both sides, lets the canonicalizer
+crash exactly where the driver's would, and checks dtype *kind* equality
+(int vs float vs object) before exact value comparison.
 """
 
 from __future__ import annotations
 
-import math
-
 import duckdb
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -24,47 +36,46 @@ def duck_con(sf_dir: str):
     return con
 
 
-def _norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except ImportError:
-        pass
-    return v
-
-
-def _normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
-    )
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The driver's canonicalization: columns sorted by name, rows sorted by
+    all columns.  Raises TypeError on unhashable cells (lists), just like
+    the driver's pandas sort_values does — that is a feature here."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    return pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
 
 
 def compare(spark_df, con, sql: str, name: str) -> tuple[bool, str]:
-    s_cols = sorted(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    s = spark_df.toPandas()
+    s.columns = [c.lower() for c in s.columns]
     res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
-    if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
-        return False, f"{name}: column mismatch spark={s_cols} duck={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
-    sn = _normalize(s_rows, spark_df.columns)
-    dn = _normalize(d_rows, d_cols)
-    if sn != dn:
-        diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-        return False, f"{name}: value mismatch, first diffs {diff}"
-    return True, f"{name}: OK ({len(s_rows)} rows)"
+    d = res.fetch_df()
+    d.columns = [c.lower() for c in d.columns]
+
+    if sorted(s.columns) != sorted(d.columns):
+        return False, (
+            f"{name}: column mismatch spark={sorted(s.columns)} "
+            f"duck={sorted(d.columns)}"
+        )
+    if len(s) != len(d):
+        return False, f"{name}: row count spark={len(s)} duck={len(d)}"
+
+    try:
+        sc = _canon(s)
+        dc = _canon(d)
+    except TypeError as exc:  # driver ERR (e.g. list-typed column)
+        return False, f"{name}: driver-canonicalizer crash: {exc!r}"
+
+    s_kinds = [sc[c].dtype.kind for c in sc.columns]
+    d_kinds = [dc[c].dtype.kind for c in dc.columns]
+    if s_kinds != d_kinds:
+        return False, (
+            f"{name}: dtype-kind mismatch (driver value-hash would differ): "
+            f"spark={list(zip(sc.columns, s_kinds))} duck={list(zip(dc.columns, d_kinds))}"
+        )
+
+    try:
+        pd.testing.assert_frame_equal(sc, dc, check_dtype=False, check_exact=True)
+    except AssertionError as exc:
+        return False, f"{name}: value mismatch: {str(exc)[:800]}"
+    return True, f"{name}: OK ({len(s)} rows)"
