@@ -276,29 +276,21 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    d = _t(spark, sf, "documents")
-    toks = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-    base = d.select("doc_id", "lang", toks.alias("toks"),
-                    (F.col("n_chars") / 100).cast("int").alias("bucket"))
-    a = base.select(F.col("lang"), F.col("bucket"), F.col("doc_id").alias("id_1"),
-                    F.col("toks").alias("t1"))
-    b = base.select(F.col("lang"), F.col("bucket"), F.col("doc_id").alias("id_2"),
-                    F.col("toks").alias("t2"))
-    pairs = a.join(b, ["lang", "bucket"]).where(F.col("id_1") < F.col("id_2"))
-    # J >= 0.5 implies |t1∩t2| >= 0.5·max ⇒ min/max >= 0.5: prune pairs by
-    # set-size ratio BEFORE the O(|t|) intersect (result-set unchanged —
-    # the oracle runs without the prefilter and must agree)
-    n1, n2 = F.size("t1").cast("double"), F.size("t2").cast("double")
-    pairs = pairs.where(F.least(n1, n2) >= 0.5 * F.greatest(n1, n2))
-    inter = F.size(F.array_intersect("t1", "t2")).cast("double")
-    # |A∪B| = |A|+|B|−|A∩B| exactly (both arrays are array_distinct) —
-    # skips the per-pair union hash-set build, the costlier of the two
-    # array passes; F.size on an array column is O(1)
-    union = n1 + n2 - inter
-    jac = inter / union
-    return pairs.select("id_1", "id_2", F.round(jac, 6).alias("jaccard")).where(
-        F.col("jaccard") >= 0.5
+    """Routed through dedup.ngram_jaccard_pairs: id-only candidates via the
+    salted candidate_pairs discipline (a no-op below max_block_size, so the
+    unsalted SQL oracle agrees at driver scale), gram arrays joined back
+    post-pairing."""
+    from healthcare_entity_resolution_spark.operators import dedup as D
+
+    d = _t(spark, sf, "documents").withColumn(
+        "bucket", (F.col("n_chars") / 100).cast("int")
     )
+    out = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "bucket"], n=1, threshold=0.5
+    )
+    return out.select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    ).where(F.col("jaccard") >= 0.5)
 
 
 def q_emb_cosine_topk(spark, sf):

@@ -425,26 +425,50 @@ def query_lsh_index(
 def all_pairs_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: np.ndarray | None = None,
+    cfg=None,
+    lineage=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: block by sign bucket, exact cosine
     within buckets (boundary pairs in adjacent buckets are missed — the
     standard LSH recall trade, tune n_planes down for recall up).  Pass
     ``planes`` (see :func:`random_hyperplanes`) for projection buckets
-    instead of axis signs."""
+    instead of axis signs.
+
+    Scale discipline (round-3 VERDICT hazard fix): ``n_planes`` defaults to
+    :func:`auto_n_planes` of the corpus count so bucket count grows with the
+    corpus instead of staying at 16 forever, and the within-bucket self-join
+    goes through :func:`blocking.candidate_pairs` — the same hot-block
+    salting/cap with exact dropped-pair lineage the record-linkage path
+    uses, with vectors joined back onto id-only pairs afterwards (fat
+    arrays never ride the blocking shuffle)."""
+    from ..config import DEFAULT_CONFIG
+    from ..plans.lineage import NULL_LINEAGE
+    from . import blocking as B
+
+    cfg = cfg or DEFAULT_CONFIG
+    lineage = lineage or NULL_LINEAGE
     e = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     if planes is not None:
-        e = e.withColumn("bucket", projected_bucket(F.col("v"), planes))
+        bucket = projected_bucket(F.col("v"), planes)
     else:
-        e = e.withColumn("bucket", sign_bucket(F.col("v"), n_planes))
-    a = e.select("bucket", F.col("id").alias("id_1"), F.col("v").alias("v1"))
-    b = e.select("bucket", F.col("id").alias("id_2"), F.col("v").alias("v2"))
-    pairs = a.join(b, "bucket").where(F.col("id_1") < F.col("id_2"))
+        if n_planes is None:
+            n_planes = auto_n_planes(e.count())
+        bucket = sign_bucket(F.col("v"), n_planes)
+    keyed = e.select(
+        F.col("id").alias("_id"),
+        F.concat(F.lit("ann:"), bucket.cast("string")).alias("_bk"),
+        F.lit("ann_sign").alias("_strategy"),
+    )
+    pairs = B.candidate_pairs(keyed, cfg, lineage)
+    pairs = pairs.join(
+        e.select(F.col("id").alias("id_1"), F.col("v").alias("v1")), "id_1"
+    ).join(e.select(F.col("id").alias("id_2"), F.col("v").alias("v2")), "id_2")
     cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
     return pairs.select(
         "id_1", "id_2", F.round(cos, 6).alias("cosine")

@@ -259,9 +259,22 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     n: int = 1,
     threshold: float = 0.5,
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage=None,
 ) -> DataFrame:
     """Word n-gram Jaccard within blocks — pure built-in functions end to
-    end (split/array ops), whole-stage-codegen, no Python."""
+    end (split/array ops), whole-stage-codegen, no Python.
+
+    Scale discipline (round-3 VERDICT hazard fix): candidates are generated
+    as **id-only pairs** through :func:`blocking.candidate_pairs` — the same
+    hot-block salting/cap with exact dropped-pair lineage every other
+    candidate path uses — and the gram arrays are joined back onto the pair
+    frame afterwards, so fat arrays never ride the blocking shuffle and a
+    skewed block can't go quadratic.  Below ``cfg.max_block_size`` the salt
+    is a no-op, so small-scale output (and the SQL oracle) is unchanged."""
+    from ..plans.lineage import NULL_LINEAGE
+
+    lineage = lineage if lineage is not None else NULL_LINEAGE
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     if n == 1:
         grams = F.array_distinct(words)
@@ -270,14 +283,19 @@ def ngram_jaccard_pairs(
         grams = F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
         )
-    base = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("id"),
-        grams.alias("grams"),
+    # id-only keyed frame: the blocking shuffle carries (id, block-key)
+    # only — grams are joined back per side AFTER pair generation
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.concat_ws("|", F.lit("ng"), *[F.col(c).cast("string") for c in block_cols])
+        .alias("_bk"),
+        F.lit("ngram").alias("_strategy"),
     )
-    a = base.select(*block_cols, F.col("id").alias("id_1"), F.col("grams").alias("g1"))
-    b = base.select(*block_cols, F.col("id").alias("id_2"), F.col("grams").alias("g2"))
-    pairs = a.join(b, block_cols).where(F.col("id_1") < F.col("id_2"))
+    pairs = B.candidate_pairs(keyed, cfg, lineage)
+    gframe = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    pairs = pairs.join(
+        gframe.select(F.col("id").alias("id_1"), F.col("grams").alias("g1")), "id_1"
+    ).join(gframe.select(F.col("id").alias("id_2"), F.col("grams").alias("g2")), "id_2")
     n1, n2 = F.size("g1").cast("double"), F.size("g2").cast("double")
     pairs = pairs.where(F.least(n1, n2) >= threshold * F.greatest(n1, n2))
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")

@@ -381,3 +381,85 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
             ann.query_ivf_index(spark, path, q, k=10, nprobe=4,
                                 centroids=cents).collect()]
     assert got2 == got
+
+
+def test_all_pairs_near_dup_hot_bucket_salted(spark):
+    """VERDICT r3 hazard fix: a hot sign bucket must be split by the same
+    salted/capped discipline as blocking.candidate_pairs, with exact
+    dropped-pair lineage — never a silent quadratic self-join."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    from healthcare_entity_resolution_spark.config import DEFAULT_CONFIG
+    from healthcare_entity_resolution_spark.plans.lineage import LineageLog
+
+    rng = np.random.default_rng(11)
+    base = np.abs(rng.standard_normal(8)) + 0.1  # all-positive -> one bucket
+    rows = [(i, (base * (1.0 + 0.001 * i)).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cfg = replace(DEFAULT_CONFIG, max_block_size=20)
+    lin = LineageLog()
+    out = ann.all_pairs_near_duplicates(emb, threshold=0.95, cfg=cfg, lineage=lin)
+    n = out.count()
+    full = 60 * 59 // 2
+    assert 0 < n < full  # truncated, not quadratic
+    ev = [e for e in lin.events if e["stage"] == "blocking.salting"][0]
+    assert ev["pairs_dropped"] + ev["pairs_kept"] == full  # exact accounting
+    assert ev["hot_blocks"] == 1
+
+
+def test_all_pairs_near_dup_recall_vs_brute_force(spark):
+    """Auto-sized n_planes default path: recall >= 0.9 against the exact
+    all-pairs ground truth on sign-stable synthetic clusters."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows, truth = [], set()
+    vid = 0
+    for _c in range(4):
+        base = rng.standard_normal(16)
+        ids = []
+        for _i in range(10):
+            v = base * (1.0 + 0.02 * rng.random(16))  # same signs, cosine ~ 1
+            rows.append((vid, v.tolist()))
+            ids.append(vid)
+            vid += 1
+        truth |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r.id_1, r.id_2)
+        for r in ann.all_pairs_near_duplicates(emb, threshold=0.95).collect()
+    }
+    assert len(found & truth) / len(truth) >= 0.9
+    # no false positives across clusters at this threshold
+    assert not (found - truth)
+
+
+def test_ngram_jaccard_hot_block_salted(spark):
+    """ngram candidates go through the salted candidate_pairs discipline:
+    a hot block is split with exact dropped-pair lineage, and the final
+    plan consumes id-only checkpointed pairs (gram arrays join back only
+    after pair generation)."""
+    import contextlib
+    import io
+    from dataclasses import replace
+
+    from healthcare_entity_resolution_spark.plans.lineage import LineageLog
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    cfg = replace(ResolutionConfig(), max_block_size=10)
+    lin = LineageLog()
+    out = D.ngram_jaccard_pairs(df, "id", "text", ["lang"], cfg=cfg, lineage=lin)
+    n = out.count()
+    full = 40 * 39 // 2
+    assert 0 < n < full  # truncated, not quadratic
+    ev = [e for e in lin.events if e["stage"] == "blocking.salting"][0]
+    assert ev["pairs_dropped"] + ev["pairs_kept"] == full  # exact accounting
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    # candidates come from the checkpointed id-only pair frame; the gram
+    # arrays appear only in the post-pair join-back
+    assert "Scan ExistingRDD" in buf.getvalue()
