@@ -169,9 +169,14 @@ def prune_oversized_clusters(
     cfg: ResolutionConfig = DEFAULT_CONFIG,
     lineage: LineageLog = NULL_LINEAGE,
     max_iterations: int = 1000,
-) -> DataFrame:
+    return_assignments: bool = False,
+):
     """G7: split components larger than ``cfg.max_cluster_size`` by removing
-    the weakest edge per oversized component per iteration."""
+    the weakest edge per oversized component per iteration.
+
+    With ``return_assignments=True`` returns ``(edges, assignments)`` so the
+    caller (full_pruning) can hand the final component map to G8 instead of
+    paying a second corpus-wide connected-components run."""
     cur = edges.select(*_EDGE_COLS)
     # full CC once; afterwards only the components that lost an edge are
     # re-clustered (see _localized_recluster)
@@ -185,7 +190,7 @@ def prune_oversized_clusters(
         )
         if oversized.limit(1).count() == 0:
             lineage.log("prune.oversized", iterations=it, edges_removed=removed_total)
-            return cur
+            return (cur, assign) if return_assignments else cur
         in_comp = cur.join(
             assign.withColumnRenamed("id", "id_1"), "id_1"
         ).join(oversized, "component_id", "left_semi")
@@ -194,7 +199,7 @@ def prune_oversized_clusters(
         if n_removed == 0:  # oversized but edgeless cannot happen; safety
             lineage.log("prune.oversized", iterations=it + 1,
                         edges_removed=removed_total, unresolvable=True)
-            return cur
+            return (cur, assign) if return_assignments else cur
         removed_total += n_removed
         cur = _checkpoint(
             cur.join(to_remove.select("id_1", "id_2"), ["id_1", "id_2"], "left_anti")
@@ -205,7 +210,7 @@ def prune_oversized_clusters(
         assign = _localized_recluster(cur, assign, touched, cfg, lineage)
     lineage.log("prune.oversized", iterations=max_iterations,
                 edges_removed=removed_total, max_iterations_hit=True)
-    return cur
+    return (cur, assign) if return_assignments else cur
 
 
 _BRIDGE_SCHEMA = "id_1 string, id_2 string"
@@ -216,15 +221,26 @@ def prune_weak_bridges(
     cfg: ResolutionConfig = DEFAULT_CONFIG,
     lineage: LineageLog = NULL_LINEAGE,
     threshold: float | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """G8: drop bridge edges with weight < threshold (pruning.py:139-169).
 
     Bridges are found per component with networkx inside ``applyInPandas`` —
     components are bounded (≤ max_cluster_size after G7) so each group is a
     tiny in-memory graph; the stage parallelizes across components.
+
+    ``assignments`` (id -> component_id for exactly these edges, e.g. G7's
+    final map) skips the corpus-wide connected-components run — one full CC
+    saved per full_pruning pipeline.
     """
     t = cfg.min_edge_weight if threshold is None else threshold
-    assign = connected_components(edges.select("id_1", "id_2"), cfg=cfg)
+    reused = assignments is not None
+    assign = (
+        assignments
+        if reused
+        else connected_components(edges.select("id_1", "id_2"), cfg=cfg)
+    )
+    lineage.log("prune.weak_bridges", reused_assignments=reused)
     e = edges.join(assign.withColumnRenamed("id", "id_1"), "id_1").select(
         "component_id", "id_1", "id_2", "weight"
     )
@@ -268,8 +284,8 @@ def full_pruning(
     e = prune_low_confidence_edges(edges, cfg.min_edge_weight * 0.75)
     if cfg.prune_id_conflicts:
         e = prune_id_conflicts(e, node_ids, cfg, lineage)
-    e = prune_oversized_clusters(e, cfg, lineage)
-    e = prune_weak_bridges(e, cfg, lineage)
+    e, assign = prune_oversized_clusters(e, cfg, lineage, return_assignments=True)
+    e = prune_weak_bridges(e, cfg, lineage, assignments=assign)
     n1 = e.count()
     lineage.log("prune.done", edges_before=n0, edges_after=n1, removed=n0 - n1)
     return e

@@ -101,9 +101,15 @@ def test_full_pruning_pipeline(spark):
         [("a", "111"), ("b", "111"), ("c", "222"), ("d", "222"),
          ("x", None), ("y", None)], "id string, auth_id string"
     )
-    out = P.full_pruning(e, ids)
+    from healthcare_entity_resolution_spark.plans.lineage import LineageLog
+
+    lin = LineageLog()
+    out = P.full_pruning(e, ids, lineage=lin)
     kept = sorted((r.id_1, r.id_2) for r in out.collect())
     assert kept == [("a", "b"), ("c", "d")]
+    # G8 must reuse G7's component map — one fewer corpus-wide CC per run
+    ev = [e for e in lin.events if e["stage"] == "prune.weak_bridges"][0]
+    assert ev["reused_assignments"] is True
 
 
 @pytest.fixture(scope="module")
