@@ -982,25 +982,38 @@ def q_g6_conflict_pruning(spark, sf):
 
 
 def q_g12_graph_diagnostics(spark, sf):
-    """G12 (rows-only): per-component bridges / articulation points /
-    cohesion via networkx inside applyInPandas — small same-nation chains
-    derived from customer."""
+    """G12 non-SQL-expressible half (rows-only by design): per-component
+    bridges / articulation points / cohesion (networkx in applyInPandas)
+    joined with the weak-bridge split suggestions on component_id — one
+    rows-only key covering both surfaces; the SQL-expressible stats half is
+    value-checked separately as g12_component_stats."""
     from healthcare_entity_resolution_spark.operators.components import (
         connected_components,
     )
     from healthcare_entity_resolution_spark.operators.graph import (
         component_graph_diagnostics,
+        suggest_cluster_splits,
     )
 
     edges = _cust_matches(spark, sf).where(F.col("id_1").cast("int") < 300)
     e = edges.withColumnRenamed("overall_score", "weight")
     assign = connected_components(e)
-    out = component_graph_diagnostics(e, assign)
-    return out.select(
+    diag = component_graph_diagnostics(e, assign).select(
         "component_id", "n_nodes", "n_bridges", "n_weak_bridges",
         "n_articulation",
         F.floor(F.col("cohesion") * 1e6).alias("cohesion_micro"),
     )
+    splits = suggest_cluster_splits(e, assign, threshold=0.6)
+    return diag.join(splits, "component_id")
+
+
+def q_g12_component_stats(spark, sf):
+    """G12 SQL-expressible half: per-component node/edge counts + density,
+    pure DataFrame aggregation (graph.component_stats) — value-checked."""
+    from healthcare_entity_resolution_spark.operators.graph import component_stats
+
+    edges = _cust_matches(spark, sf).where(F.col("id_1").cast("int") < 300)
+    return component_stats(edges, _cust_assignments(spark, sf))
 
 
 _SPECIALTY_CYCLE = [
@@ -1059,22 +1072,6 @@ def q_f10_names_match_fuzzy(spark, sf):
         names_match_fuzzy(F.col("f1"), F.col("l1"),
                           F.lit(None).cast("string"), F.col("l1")).alias("match_nofirst"),
     )
-
-
-def q_g12_split_suggestions(spark, sf):
-    """G12 splits (rows-only: bridge-finding is not SQL-expressible): weak
-    bridges removed per component, resulting parts exploded to rows."""
-    from healthcare_entity_resolution_spark.operators.components import (
-        connected_components,
-    )
-    from healthcare_entity_resolution_spark.operators.graph import (
-        suggest_cluster_splits,
-    )
-
-    edges = _cust_matches(spark, sf).where(F.col("id_1").cast("int") < 300)
-    e = edges.withColumnRenamed("overall_score", "weight")
-    assign = connected_components(e)
-    return suggest_cluster_splits(e, assign, threshold=0.6)
 
 
 # ---------------------------------------------------------------------------
@@ -1183,8 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_affiliation_parse": q_p8_affiliation,
         "j3_canonical_map_join": q_j3_map_join,
         "g12_graph_diagnostics": q_g12_graph_diagnostics,
+        "g12_component_stats": q_g12_component_stats,
         "g11_overmatch_flags": q_g11_overmatch,
-        "g12_split_suggestions": q_g12_split_suggestions,
         "f10_names_match_fuzzy": q_f10_names_match_fuzzy,
         "n2_pagerank": q_n2_pagerank,
         "n3_referral_metrics": q_n3_referral_metrics,
@@ -1696,7 +1693,25 @@ def oracle_sql() -> dict[str, str]:
             " FROM stats s LEFT JOIN spec sp USING (component_id)) "
             "SELECT component_id, size, flags FROM flagged WHERE flags != ''"
         ),
-        # g12_split_suggestions: no oracle — bridge finding (rows-only)
+        # g12_graph_diagnostics: no oracle — bridge/articulation finding is
+        # not SQL-expressible (rows-only by design); the SQL-expressible
+        # stats half is value-checked below as g12_component_stats
+        "g12_component_stats": (
+            "WITH m0 AS (" + _CUST_MATCH_SQL + "), "
+            "m AS (SELECT * FROM m0 WHERE CAST(id_1 AS INT) < 300), "
+            "a AS (SELECT CAST(c_custkey AS VARCHAR) AS id, "
+            "  CAST(c_nationkey AS VARCHAR) AS component_id FROM customer), "
+            "e AS (SELECT m.id_1, m.id_2, a.component_id FROM m "
+            " JOIN a ON m.id_1 = a.id), "
+            "n AS (SELECT component_id, count(DISTINCT id) AS n_nodes FROM ("
+            "  SELECT component_id, id_1 AS id FROM e "
+            "  UNION ALL SELECT component_id, id_2 AS id FROM e) GROUP BY 1), "
+            "s AS (SELECT component_id, count(*) AS n_edges FROM e GROUP BY 1) "
+            "SELECT n.component_id, n_nodes, n_edges, "
+            " CAST(floor(n_edges / (n_nodes * (n_nodes - 1) / 2.0) * 1e6) "
+            "  AS BIGINT) AS density_micro "
+            "FROM n JOIN s USING (component_id)"
+        ),
         "f10_names_match_fuzzy": (
             "WITH base AS (SELECT p_partkey, string_split(p_name, ' ')[1] AS f, "
             "  string_split(p_name, ' ')[-1] AS l FROM part), "

@@ -270,6 +270,33 @@ def component_graph_diagnostics(
     return e.groupBy("component_id").applyInPandas(diag, schema=GRAPH_DIAG_SCHEMA)
 
 
+def component_stats(edges: DataFrame, assignments: DataFrame) -> DataFrame:
+    """G12, SQL-expressible half (reference overmatching.py:164-186 feeds on
+    these counts): per-component node/edge counts and density as a pure
+    DataFrame aggregation — no networkx, fully oracle-checkable.  The
+    bridge/articulation half stays in :func:`component_graph_diagnostics`
+    (not SQL-expressible, rows-only check by design).
+
+    Micro-unit floor quantization (not round) keeps the density comparable
+    across engines."""
+    e = edges.join(
+        assignments.select(F.col("id").alias("id_1"), "component_id"), "id_1"
+    ).select("component_id", "id_1", "id_2")
+    nodes = (
+        e.select("component_id", F.col("id_1").alias("id"))
+        .unionByName(e.select("component_id", F.col("id_2").alias("id")))
+        .groupBy("component_id")
+        .agg(F.countDistinct("id").alias("n_nodes"))
+    )
+    es = e.groupBy("component_id").agg(F.count("*").alias("n_edges"))
+    out = nodes.join(es, "component_id")
+    density = F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2)
+    return out.select(
+        "component_id", "n_nodes", "n_edges",
+        F.floor(density * 1e6).alias("density_micro"),
+    )
+
+
 SPLIT_SCHEMA = "component_id string, split_part int, id string"
 
 
