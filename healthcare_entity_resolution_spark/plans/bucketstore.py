@@ -107,12 +107,24 @@ def bucketed_candidate_pairs(
 
 
 def block_store_stats(spark: SparkSession, table: str) -> DataFrame:
-    """Per-block sizes and pair counts, computed bucket-local (the groupBy
-    key equals the bucket key, so no Exchange): the A1/A2 block-statistics
-    surface over the persisted store."""
+    """Per-block sizes and pair counts: the A1/A2 block-statistics surface
+    over the persisted store.
+
+    Stored ``_bk`` carries a ``#<salt>`` suffix on hot blocks, so stats are
+    rolled up to the PRE-salt key in two stages: stage 1 aggregates per
+    salted sub-block bucket-local (groupBy key == bucket key — no Exchange
+    on the big scan); stage 2 re-aggregates the per-sub-block partials onto
+    the original block key (one Exchange over distinct block keys only —
+    O(blocks), not O(records)).  ``n_pairs`` is what the store's self-join
+    actually generates (sum over salts of C(ns,2)); ``n_pairs_unsalted`` is
+    C(n,2) — the difference is the salting drop."""
+    sub = spark.table(table).groupBy("_bk").agg(F.count("*").alias("ns"))
+    blk = F.element_at(F.split(F.col("_bk"), "#"), 1)
     return (
-        spark.table(table)
-        .groupBy("_bk")
-        .agg(F.count("*").alias("n_records"))
-        .withColumn("n_pairs", F.expr("n_records * (n_records - 1) / 2"))
+        sub.groupBy(blk.alias("block"))
+        .agg(
+            F.sum("ns").alias("n_records"),
+            F.sum(F.expr("ns * (ns - 1) / 2")).alias("n_pairs"),
+        )
+        .withColumn("n_pairs_unsalted", F.expr("n_records * (n_records - 1) / 2"))
     )

@@ -45,10 +45,14 @@ class SnapshotStore:
             return {}
         out: dict[int, str] = {}
         for d in os.listdir(base):
-            if d.startswith(prefix + "_") and os.path.exists(
-                os.path.join(base, d, "_SUCCESS")
+            suffix = d.rsplit("_", 1)[1] if "_" in d else ""
+            # non-numeric suffixes (stray dirs) are skipped, not a crash
+            if (
+                d.startswith(prefix + "_")
+                and suffix.isdigit()
+                and os.path.exists(os.path.join(base, d, "_SUCCESS"))
             ):
-                out[int(d.rsplit("_", 1)[1])] = os.path.join(base, d)
+                out[int(suffix)] = os.path.join(base, d)
         return out
 
     def _deltas(self, name: str) -> list[str]:
@@ -103,6 +107,16 @@ class SnapshotStore:
         whole-commit-mode — don't mix the two under one name."""
         if self.has_delta(name, delta_id):
             return False
+        if os.path.exists(os.path.join(self._path(name), "_SUCCESS")):
+            # load() prefers a whole-commit base _SUCCESS and ignores every
+            # delta, so appending into such a snapshot would silently drop
+            # each newly ingested batch — refuse loudly (mirrors the epoch-
+            # collision guard below)
+            raise ValueError(
+                f"append: snapshot {name!r} is whole-commit-mode (base "
+                "_SUCCESS present); appends would be committed but never "
+                "read. Use a different name or commit() the merged frame."
+            )
         compacts = self._committed_dirs(name, "compact")
         if compacts and delta_id <= max(compacts):
             # reads start at the newest compaction (which covers every id
@@ -146,6 +160,11 @@ class SnapshotStore:
             return new_id
         tmp = self._path(f"_tmp_{name}_compact_{new_id:012d}")
         self.spark.read.parquet(*parts).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            # e.g. a superseded compact whose best-effort rmtree deleted
+            # _SUCCESS but not the dir — without this, every future
+            # compaction's rename would raise forever
+            shutil.rmtree(final)
         os.rename(tmp, final)
         for p in parts:  # superseded; unread even if deletion crashes
             shutil.rmtree(p, ignore_errors=True)

@@ -60,6 +60,7 @@ def test_bucketed_join_has_no_exchange(spark, keyed, tmp_path):
     # broadcast threshold, so assert the plan Spark produces THERE by
     # disabling auto-broadcast for the explain
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         pairs = BS.bucketed_candidate_pairs(spark, "blocks_plan", dedup=False)
@@ -71,8 +72,11 @@ def test_bucketed_join_has_no_exchange(spark, keyed, tmp_path):
         assert "Bucketed: true" in plan, plan
         assert "SortMergeJoin" in plan, plan
 
+        # stats: stage-1 per-sub-block agg is bucket-local (the Exchange-free
+        # part over the big scan); the single remaining Exchange is the
+        # O(distinct blocks) pre-salt rollup, never the record scan
         stats_plan = _plan(BS.block_store_stats(spark, "blocks_plan"))
-        assert "Exchange" not in stats_plan, stats_plan
+        assert stats_plan.count(") Exchange") == 1, stats_plan
 
         # the Sorts that remain are bucket-LOCAL (memory-only, one bucket's
         # rows in one task — the baseline shuffle plan runs the same Sorts
@@ -85,7 +89,7 @@ def test_bucketed_join_has_no_exchange(spark, keyed, tmp_path):
         assert "Exchange" not in plan_noaqe, plan_noaqe
         assert "SelectedBucketsCount" in plan_noaqe, plan_noaqe
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS blocks_plan")
 
@@ -113,5 +117,15 @@ def test_store_salts_hot_blocks(spark, tmp_path):
         assert sum(r["count"] for r in sizes) == 25
         assert {r["_bk"] for r in stored.where(
             F.col("_bk").startswith("cold")).collect()} == {"cold#0"}
+        # stats roll sub-blocks up to the PRE-salt key with honest pair
+        # accounting: n_pairs = what the self-join generates within salts,
+        # n_pairs_unsalted = C(n,2) of the original block
+        stats = {r["block"]: r for r in
+                 BS.block_store_stats(spark, "blocks_salt").collect()}
+        assert stats["hot"]["n_records"] == 25
+        assert stats["hot"]["n_pairs_unsalted"] == 300  # C(25,2)
+        assert stats["hot"]["n_pairs"] < 300
+        assert stats["cold"]["n_records"] == 2
+        assert stats["cold"]["n_pairs"] == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS blocks_salt")

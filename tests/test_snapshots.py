@@ -197,3 +197,49 @@ def test_append_compact_replay_state_machine(spark, tmp_path):
             got = sorted(map(tuple, store.load("sm").collect()))
             want = sorted(t for rows in expected.values() for t in rows)
             assert got == want, (seed, op, got, want)
+
+
+def test_append_into_whole_commit_snapshot_raises(spark, tmp_path):
+    """Mode-mixing guard: load() prefers a base _SUCCESS and ignores deltas,
+    so appending into a whole-commit snapshot must refuse loudly instead of
+    silently dropping every new batch."""
+    store = SnapshotStore(spark, str(tmp_path / "mix"))
+    df = spark.range(3).select(F.col("id"))
+    store.commit(df, "state")
+    with pytest.raises(ValueError, match="whole-commit-mode"):
+        store.append(df, "state", store.next_delta_id("state"))
+
+
+def test_stray_dirs_do_not_crash_reads(spark, tmp_path):
+    """A stray directory matching the delta prefix with a non-numeric suffix
+    (with _SUCCESS) must be skipped, not raise ValueError on every read."""
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "stray"))
+    df = spark.range(2).select(F.col("id"))
+    store.append(df, "state", 0)
+    junk = os.path.join(str(tmp_path / "stray"), "state", "delta_backup")
+    os.makedirs(junk)
+    open(os.path.join(junk, "_SUCCESS"), "w").close()
+    assert store.exists("state")
+    assert store.load("state").count() == 2
+    assert store.next_delta_id("state") == 1
+
+
+def test_compact_over_leftover_dir(spark, tmp_path):
+    """A leftover compact_<id> dir without _SUCCESS (partially deleted
+    superseded rewrite) must not make compaction raise forever."""
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "leftover"))
+    df = spark.range(2).select(F.col("id"))
+    store.append(df, "state", 0)
+    store.append(df, "state", 1)
+    # simulate a superseded compact whose best-effort rmtree removed
+    # _SUCCESS but left the dir
+    stale = os.path.join(str(tmp_path / "leftover"), "state", "compact_000000000001")
+    os.makedirs(stale)
+    open(os.path.join(stale, "junkfile"), "w").close()
+    cid = store.compact("state")
+    assert cid == 1
+    assert store.load("state").count() == 4
