@@ -1,0 +1,93 @@
+"""Long-stream read-amplification bench: micro_batch_resolve over N waves
+with and without periodic delta compaction.
+
+Demonstrates why incremental_resolution_stream defaults compact_every=16:
+without compaction, every batch's corpus read unions one delta directory
+per past batch, so per-batch latency and open-file counts grow with stream
+age; with compaction the union never exceeds compact_every directories.
+
+Prints one JSON line; numbers are recorded in BENCH.md §streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+N_BATCHES = 24
+COMPACT_EVERY = 8
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def delta_dirs(run_dir: str, name: str) -> int:
+    base = os.path.join(run_dir, name)
+    if not os.path.isdir(base):
+        return 0
+    return sum(1 for d in os.listdir(base) if d.startswith(("delta_", "compact_")))
+
+
+def run(spark, waves, run_dir: str, compact_every: int | None) -> dict:
+    from healthcare_entity_resolution_spark.plans.snapshots import SnapshotStore
+    from healthcare_entity_resolution_spark.streaming.incremental import (
+        micro_batch_resolve,
+    )
+
+    store = SnapshotStore(spark, run_dir)
+    times = []
+    for i, w in enumerate(waves):
+        t0 = time.time()
+        micro_batch_resolve(spark, w, store, batch_id=i)
+        if compact_every and (i + 1) % compact_every == 0:
+            for name in ("files", "keys", "edges"):
+                if store.exists(name):
+                    store.compact(name)
+        times.append(round(time.time() - t0, 3))
+    tail = len(times) // 3
+    return {
+        "total_sec": round(sum(times), 2),
+        "last_third_sec": round(sum(times[-tail:]), 2),
+        "first_third_sec": round(sum(times[:tail]), 2),
+        "files_dirs_end": delta_dirs(run_dir, "files"),
+        "keys_dirs_end": delta_dirs(run_dir, "keys"),
+        "per_batch": times,
+    }
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from healthcare_entity_resolution_spark.corpus import generate_files_corpus
+    from healthcare_entity_resolution_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = get_spark(app_name="bench_stream_compaction", cores=cpus,
+                      shuffle_partitions=cpus)
+    pdf, _ = generate_files_corpus(n_entities=200, seed=17)
+    corpus = spark.createDataFrame(pdf[COLS]).persist()
+    n = corpus.count()
+    wave = F.abs(F.xxhash64("path")) % N_BATCHES
+    waves = [corpus.where(wave == i) for i in range(N_BATCHES)]
+
+    root = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        no_compact = run(spark, waves, os.path.join(root, "plain"), None)
+        compacted = run(spark, waves, os.path.join(root, "compact"), COMPACT_EVERY)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "stream_compaction_read_amplification",
+        "n_batches": N_BATCHES,
+        "n_files": n,
+        "compact_every": COMPACT_EVERY,
+        "no_compaction": no_compact,
+        "with_compaction": compacted,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

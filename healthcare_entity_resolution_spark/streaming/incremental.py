@@ -230,7 +230,7 @@ def incremental_resolution_stream(
     lineage: LineageLog = NULL_LINEAGE,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
-    compact_every: int | None = None,
+    compact_every: int | None = 16,
 ):
     """readStream(parquet dir) -> foreachBatch(micro_batch_resolve).
 
@@ -238,8 +238,10 @@ def incremental_resolution_stream(
     stops — the batch-backfill mode; ``False`` keeps running for new drops.
     ``compact_every=K`` folds the append-delta chains (files/keys/edges)
     into one directory every K batches, so a long-running stream's reads
-    never union thousands of per-batch deltas.  Returns the StreamingQuery.
-    """
+    never union thousands of per-batch deltas; it defaults ON (16) because
+    without it per-batch read amplification grows linearly with stream age
+    (measured in BENCH.md §streaming) — pass ``None`` to disable.  Returns
+    the StreamingQuery."""
     store = SnapshotStore(spark, run_dir)
     schema = ("repo string, path string, commit string, lang string, "
               "content string")
