@@ -1,0 +1,247 @@
+"""Live dashboard server — the reference's Streamlit app as a stdlib HTTP
+service over the explore-query surface.
+
+Reference behavior (studied at /root/reference/dashboard/app.py and
+dashboard/pages/01-04): a 4-page Streamlit app that pandas-loads the
+latest run's exported CSVs/JSON reports into driver memory and filters
+there.  The app contains no engine logic.
+
+This module is the Spark-repo equivalent with the same pages but a
+scale-safe serving path: every request compiles to a DataFrame plan from
+:mod:`.explore` over the exported parquet snapshots (filters push down to
+the scan; see explore.py's plan notes), and only the page-sized result is
+collected.  Streamlit/plotly aren't in this container, so the UI is a
+single self-contained HTML page (stdlib ``http.server``) whose panels
+fetch the JSON endpoints:
+
+- ``GET /``                  one-page UI shell (no external assets)
+- ``GET /api/tables``        exported tables + row counts      (app.py header)
+- ``GET /api/search``        page 01 — filter panel + metrics row
+- ``GET /api/influencers``   page 02 — top-k influencers
+- ``GET /api/provenance``    page 03 — entity drill-down
+- ``GET /api/stats``         page 04 — run reports (JSON files under run_dir)
+
+Endpoints accept the pages' own parameters (states, specialties,
+min_confidence, name, npi, canonical_id, k, limit).  The server is a
+daemon-threaded ``ThreadingHTTPServer`` bound to an ephemeral port by
+default — start it next to a notebook or behind a reverse proxy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import explore
+from .snapshots import SnapshotStore
+
+EXPORT_TABLES = (
+    "source_records", "canonical_physicians", "source_canonical_mapping",
+    "match_pairs", "referrals", "influence_scores",
+)
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Entity Resolution Dashboard</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:72rem}
+ h1{font-size:1.4rem} h2{font-size:1.1rem;margin-top:2rem}
+ table{border-collapse:collapse;width:100%;font-size:.85rem}
+ td,th{border:1px solid #ccc;padding:.25rem .5rem;text-align:left}
+ input,button{font:inherit;padding:.2rem .4rem;margin:.1rem}
+ .metrics span{display:inline-block;margin-right:1.5rem;font-weight:600}
+</style></head><body>
+<h1>Entity Resolution Dashboard</h1>
+<div id="tables"></div>
+<h2>Physician search</h2>
+<input id="q_name" placeholder="name contains">
+<input id="q_state" placeholder="state (e.g. CA)">
+<input id="q_conf" placeholder="min confidence">
+<button onclick="search()">Search</button>
+<div class="metrics" id="search_metrics"></div>
+<div id="search_rows"></div>
+<h2>Top influencers</h2>
+<button onclick="influencers()">Load</button>
+<div id="influencers"></div>
+<h2>Provenance drill-down</h2>
+<input id="p_npi" placeholder="NPI">
+<input id="p_cid" placeholder="canonical id">
+<button onclick="provenance()">Trace</button>
+<div id="provenance"></div>
+<script>
+async function getJSON(u){const r=await fetch(u);return r.json()}
+function render(rows){if(!rows||!rows.length)return "<i>no rows</i>";
+ const cols=Object.keys(rows[0]);
+ return "<table><tr>"+cols.map(c=>"<th>"+c+"</th>").join("")+"</tr>"+
+  rows.map(r=>"<tr>"+cols.map(c=>"<td>"+(r[c]??"")+"</td>").join("")+"</tr>").join("")+"</table>"}
+async function boot(){const t=await getJSON("/api/tables");
+ document.getElementById("tables").innerHTML=render(t.tables)}
+async function search(){
+ const p=new URLSearchParams();
+ const n=document.getElementById("q_name").value; if(n)p.set("name",n);
+ const s=document.getElementById("q_state").value; if(s)p.set("states",s);
+ const c=document.getElementById("q_conf").value; if(c)p.set("min_confidence",c);
+ const d=await getJSON("/api/search?"+p);
+ const m=d.metrics; document.getElementById("search_metrics").innerHTML=
+  "<span>total "+m.total_matching+"</span><span>avg conf "+
+  (m.avg_confidence??0).toFixed?.(3)+"</span><span>with NPI "+m.with_npi+"</span>";
+ document.getElementById("search_rows").innerHTML=render(d.rows)}
+async function influencers(){const d=await getJSON("/api/influencers?k=25");
+ document.getElementById("influencers").innerHTML=render(d.rows)}
+async function provenance(){
+ const p=new URLSearchParams();
+ const n=document.getElementById("p_npi").value; if(n)p.set("npi",n);
+ const c=document.getElementById("p_cid").value; if(c)p.set("canonical_id",c);
+ const d=await getJSON("/api/provenance?"+p);
+ document.getElementById("provenance").innerHTML=
+  "<h3>matches</h3>"+render(d.matches)+"<h3>source mapping</h3>"+render(d.source_mapping)}
+boot()
+</script></body></html>"""
+
+
+def _rows(df: DataFrame, limit: int) -> list[dict]:
+    return [
+        {k: (str(v) if not isinstance(v, (int, float, bool, str, type(None)))
+             else v)
+         for k, v in r.asDict(recursive=True).items()}
+        for r in df.limit(limit).collect()
+    ]
+
+
+def _csv_list(qs: dict, key: str) -> list[str] | None:
+    raw = qs.get(key, [None])[0]
+    return [s for s in raw.split(",") if s] if raw else None
+
+
+class DashboardServer:
+    """Serve the four dashboard pages over an export run_dir.
+
+    >>> srv = DashboardServer(spark, run_dir).start()
+    >>> srv.url            # http://127.0.0.1:<port>
+    >>> srv.stop()
+    """
+
+    def __init__(self, spark: SparkSession, export_dir: str,
+                 host: str = "127.0.0.1", port: int = 0):
+        self.spark = spark
+        self.export_dir = export_dir
+        store = SnapshotStore(spark, export_dir)
+        self.tables: dict[str, DataFrame] = {
+            t: store.load(t) for t in EXPORT_TABLES if store.exists(t)
+        }
+        if "canonical_physicians" not in self.tables:
+            raise ValueError(
+                f"dashboard: no canonical_physicians export under {export_dir!r}"
+                " — run plans.export.export_resolution_tables first"
+            )
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self._thread: threading.Thread | None = None
+
+    # -- request handling ---------------------------------------------------
+
+    def _api(self, path: str, qs: dict) -> dict:
+        limit = int(qs.get("limit", ["100"])[0])
+        phys = self.tables["canonical_physicians"]
+        if path == "/api/tables":
+            return {"tables": [
+                {"table": t, "rows": df.count()} for t, df in self.tables.items()
+            ]}
+        if path == "/api/search":
+            mc = qs.get("min_confidence", [None])[0]
+            filtered = explore.search_physicians(
+                phys,
+                states=_csv_list(qs, "states"),
+                specialties=_csv_list(qs, "specialties"),
+                min_confidence=float(mc) if mc else None,
+                name_contains=qs.get("name", [None])[0],
+            )
+            metrics = explore.search_metrics(filtered).collect()[0].asDict()
+            return {"metrics": metrics, "rows": _rows(filtered, limit)}
+        if path == "/api/influencers":
+            out = explore.top_influencers(
+                phys,
+                self.tables.get("influence_scores"),
+                k=int(qs.get("k", ["25"])[0]),
+                states=_csv_list(qs, "states"),
+                specialties=_csv_list(qs, "specialties"),
+            )
+            return {"rows": _rows(out, limit)}
+        if path == "/api/provenance":
+            got = explore.physician_provenance(
+                phys,
+                self.tables["source_canonical_mapping"],
+                source_records=self.tables.get("source_records"),
+                canonical_id=qs.get("canonical_id", [None])[0],
+                npi=qs.get("npi", [None])[0],
+                name_contains=qs.get("name", [None])[0],
+            )
+            return {k: _rows(df, limit) for k, df in got.items()}
+        if path == "/api/stats":
+            # page 04 reads the run's JSON reports verbatim
+            reports_dir = os.path.join(self.export_dir, "reports")
+            reports = {}
+            if os.path.isdir(reports_dir):
+                for f in sorted(os.listdir(reports_dir)):
+                    if f.endswith(".json"):
+                        with open(os.path.join(reports_dir, f)) as fh:
+                            reports[f[:-5]] = json.load(fh)
+            return {"reports": reports}
+        raise KeyError(path)
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                try:
+                    if u.path == "/":
+                        body = _PAGE.encode()
+                        ctype = "text/html; charset=utf-8"
+                    else:
+                        body = json.dumps(
+                            server._api(u.path, parse_qs(u.query)),
+                            default=str,
+                        ).encode()
+                        ctype = "application/json"
+                    self.send_response(200)
+                except KeyError:
+                    body, ctype = b'{"error": "not found"}', "application/json"
+                    self.send_response(404)
+                except Exception as exc:  # surface errors as JSON, keep serving
+                    body = json.dumps({"error": str(exc)}).encode()
+                    ctype = "application/json"
+                    self.send_response(500)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        return Handler
+
+    # -- lifecycle ------------------------------------------------------------
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "DashboardServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

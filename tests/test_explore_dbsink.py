@@ -273,3 +273,61 @@ def test_search_filters_push_down_to_scan(spark, tmp_path):
     assert "GreaterThanOrEqual(confidence_" in pushed
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "name" not in read_schema and "npi" not in read_schema
+
+
+def test_dashboard_server_end_to_end(spark, frames, tmp_path):
+    """plans/dashboard.py: the Streamlit-app analog serves the 4 pages over
+    exported snapshots through real HTTP — UI shell, search+metrics,
+    influencers, provenance, stats."""
+    import json
+    import urllib.request
+
+    from healthcare_entity_resolution_spark.plans.dashboard import DashboardServer
+    from healthcare_entity_resolution_spark.plans.snapshots import SnapshotStore
+
+    phys, mapping, influence = frames
+    run_dir = str(tmp_path / "export")
+    store = SnapshotStore(spark, run_dir)
+    store.commit(phys, "canonical_physicians")
+    store.commit(mapping, "source_canonical_mapping")
+    store.commit(influence, "influence_scores")
+    (tmp_path / "export" / "reports").mkdir()
+    (tmp_path / "export" / "reports" / "match_quality.json").write_text(
+        '{"f1": 0.99}'
+    )
+
+    srv = DashboardServer(spark, run_dir).start()
+    try:
+        get = lambda p: urllib.request.urlopen(srv.url + p, timeout=60)  # noqa: E731
+        jget = lambda p: json.load(get(p))  # noqa: E731
+
+        html = get("/").read().decode()
+        assert "Entity Resolution Dashboard" in html
+
+        t = {r["table"]: r["rows"] for r in jget("/api/tables")["tables"]}
+        assert t["canonical_physicians"] == 8
+        assert t["source_canonical_mapping"] == 10
+
+        d = jget("/api/search?states=IL&min_confidence=0.5&name=smith")
+        assert d["metrics"]["total_matching"] == 2  # John Smith, Ann Smithson
+        assert {r["id"] for r in d["rows"]} == {"e0", "e3"}
+
+        inf = jget("/api/influencers?k=3")["rows"]
+        assert [r["id"] for r in inf] == ["e0", "e3", "e1"]  # pagerank desc
+
+        prov = jget("/api/provenance?npi=1")
+        assert {r["id"] for r in prov["matches"]} == {"e0"}
+        assert len(prov["source_mapping"]) == 3  # r0-r2 map to e0
+
+        stats = jget("/api/stats")["reports"]
+        assert stats["match_quality"]["f1"] == 0.99
+
+        import urllib.error
+
+        try:
+            get("/api/nope")
+            raise AssertionError("expected HTTP 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
