@@ -38,6 +38,27 @@ def main() -> None:
     spark = get_spark(app_name="her_pipeline", cores=args.cores)
     lineage = LineageLog(run_dir=args.output)
     raw = spark.read.parquet(args.input)
+    need = {"repo", "path", "commit", "lang", "content"}
+    if not need <= set(raw.columns):
+        if {"doc_id", "text"} <= set(raw.columns):
+            # documents-shaped input (the testdata tables): adapt in place
+            from pyspark.sql import functions as F
+
+            from healthcare_entity_resolution_spark.pipeline import (
+                documents_as_files,
+            )
+
+            for col, default in (("lang", "unknown"), ("source", "docs")):
+                if col not in raw.columns:
+                    raw = raw.withColumn(col, F.lit(default))
+            raw = documents_as_files(raw)
+            lineage.log("input.adapted", shape="documents")
+        else:
+            raise SystemExit(
+                f"--input must have columns {sorted(need)} (files contract) "
+                f"or (doc_id, text[, lang, source]) (documents contract); "
+                f"got {raw.columns}"
+            )
 
     if not args.resume:
         # fresh run: clear prior snapshots so every stage recomputes
