@@ -1,0 +1,78 @@
+"""PII / secret redaction — pure-codegen text scrubbing for training-data
+pipelines (no analog in the reference repo).
+
+Every pattern is a chained JVM ``regexp_replace`` plus a ``regexp_count``
+metadata column, so the whole operator stays inside whole-stage codegen:
+no Python, no shuffle, scales linearly with the scan.  Patterns are
+deliberately conservative (precision over recall) — the counts columns
+exist so a quality gate can route high-PII documents to a heavier pass.
+
+Pattern notes:
+- email: RFC-lite local@domain.tld
+- phone: NANP-ish 10-digit groupings with separators (requires a
+  delimiter or +1 prefix so plain 10-digit ids aren't eaten)
+- ipv4: dotted quad with 0-255 octets enforced by boundary checks
+- ssn: ddd-dd-dddd with hyphens only (unhyphenated 9-digit numbers are
+  too ambiguous)
+- api_key: long base64/hex-ish tokens with a recognizable prefix
+  (AKIA / sk- / ghp_ / xox) — the high-precision secret shapes
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?1[\s\-\.])?\(?\d{3}\)?[\s\-\.]\d{3}[\s\-\.]\d{4}",
+    "ipv4": r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+            r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "api_key": r"\b(?:AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{20,}|"
+               r"ghp_[A-Za-z0-9]{36}|xox[baprs]-[A-Za-z0-9\-]{10,})\b",
+}
+
+
+def pii_counts(text: Column, kinds: list[str] | None = None) -> dict[str, Column]:
+    """{kind: regexp_count(text, pattern)} — JVM-side, codegen."""
+    kinds = kinds or list(PII_PATTERNS)
+    return {k: F.regexp_count(text, F.lit(PII_PATTERNS[k])) for k in kinds}
+
+
+def redact_text(text: Column, kinds: list[str] | None = None,
+                token: str = "[{kind}]") -> Column:
+    """Chained regexp_replace over the selected patterns (applied in the
+    declared order, so e.g. emails are replaced before phone rules see the
+    text)."""
+    kinds = kinds or list(PII_PATTERNS)
+    out = text
+    for k in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[k], token.format(kind=k))
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    kinds: list[str] | None = None,
+    token: str = "[{kind}]",
+    keep_original: bool = False,
+    with_counts: bool = True,
+) -> DataFrame:
+    """Redact PII/secrets in ``text_col`` in place (or alongside, with
+    ``keep_original=True`` -> ``<col>_raw``), adding ``pii_<kind>`` count
+    columns and a ``pii_total`` rollup when ``with_counts``."""
+    kinds = kinds or list(PII_PATTERNS)
+    cols = list(df.columns)
+    out = df
+    if with_counts:
+        for k, c in pii_counts(F.col(text_col), kinds).items():
+            out = out.withColumn(f"pii_{k}", c)
+        out = out.withColumn(
+            "pii_total",
+            sum((F.col(f"pii_{k}") for k in kinds), F.lit(0)),
+        )
+    if keep_original:
+        out = out.withColumn(f"{text_col}_raw", F.col(text_col))
+    return out.withColumn(text_col, redact_text(F.col(text_col), kinds, token))
