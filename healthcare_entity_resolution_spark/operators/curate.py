@@ -1,0 +1,107 @@
+"""Corpus curation pipeline — the end-to-end training-data flow a user of
+this engine runs over a raw document table (no analog in the reference
+repo, which resolves entities; this is the LLM-data extension surface
+composed into one operator).
+
+Stage order matters and mirrors what each stage costs at 100 TB:
+
+1. **exact dedup** first — byte-identical copies collapse in one
+   O(distinct) hash-groupBy before anything fuzzy or quadratic runs;
+2. **near dedup** (MinHash/LSH, salted id-only candidates) on the
+   survivors — keeps one representative (min id) per transitive group;
+3. **language / quality gates** — pure-codegen column predicates over
+   textstats features, cheapest possible filters once volume is down;
+4. **PII redaction** — pure-codegen rewrite; documents above the PII cap
+   are dropped rather than shipped scrubbed-but-suspect;
+5. **decontamination** last — the broadcast semi-join against the eval
+   index only shingles what survived everything else.
+
+Every stage's removal count lands in lineage (non-silent, same
+discipline as blocking drops), and the returned frame carries the
+original columns with ``text`` redacted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ResolutionConfig
+from ..plans.lineage import NULL_LINEAGE, LineageLog
+from . import decontaminate as DC
+from . import dedup as D
+from . import redact as R
+from . import textstats as TS
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: ResolutionConfig = DEFAULT_CONFIG,
+    lineage: LineageLog = NULL_LINEAGE,
+    languages: list[str] | None = None,
+    min_quality: float = 0.5,
+    max_pii: int | None = 10,
+    near_dup_threshold: float = 0.85,
+    bench_index: DataFrame | None = None,
+    contamination_threshold: float = 0.1,
+) -> dict[str, object]:
+    """Returns ``{"curated": DataFrame, "counts": dict}``; ``counts`` holds
+    the per-stage survivor numbers (also lineage-logged per stage)."""
+    counts: dict[str, int] = {"input": docs.count()}
+
+    def log(stage: str, df: DataFrame) -> DataFrame:
+        counts[stage] = df.count()
+        lineage.log(f"curate.{stage}", survivors=counts[stage])
+        return df
+
+    # 1. exact dedup
+    cur = log("exact_dedup", D.distinct_by_content(docs, id_col, text_col))
+
+    # 2. near dedup: drop every non-representative (non-min-id) member of
+    # each transitive near-dup group
+    pairs = D.minhash_near_duplicates(
+        cur, id_col, text_col, cfg, jaccard_threshold=near_dup_threshold
+    )
+    groups = D.near_duplicate_groups(pairs, cfg)
+    drop = groups.where(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias("__drop_id")
+    )
+    cur = log(
+        "near_dedup",
+        cur.join(
+            drop, cur[id_col].cast("string") == drop["__drop_id"], "left_anti"
+        ),
+    )
+
+    # 3. language + quality gates (one joined pass, pure codegen features)
+    feats = TS.quality_features(cur, id_col, text_col).select(
+        id_col, "quality_score"
+    )
+    lang = TS.identify_language(cur, id_col, text_col).select(id_col, "lang_pred")
+    gated = cur.join(feats, id_col).join(lang, id_col)
+    if languages:
+        gated = gated.where(F.col("lang_pred").isin(languages))
+    gated = gated.where(F.col("quality_score") >= F.lit(min_quality))
+    cur = log("quality_gate", gated.drop("quality_score", "lang_pred"))
+
+    # 4. PII: redact in place, drop the pathological tail
+    red = R.redact_pii(cur, text_col)
+    if max_pii is not None:
+        red = red.where(F.col("pii_total") <= F.lit(max_pii))
+    cur = log("pii", red.drop(*[c for c in red.columns if c.startswith("pii_")]))
+
+    # 5. decontamination against the held-out index
+    if bench_index is not None:
+        cur = log(
+            "decontaminated",
+            DC.decontaminate(
+                cur, bench_index, id_col, text_col,
+                threshold=contamination_threshold,
+            ),
+        )
+
+    counts["output"] = counts[list(counts)[-1]]
+    lineage.log("curate.done", **{k: v for k, v in counts.items()})
+    return {"curated": cur, "counts": counts}

@@ -114,3 +114,49 @@ def test_redact_is_pure_codegen(spark):
     plan = buf.getvalue()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
         assert bad not in plan, plan
+
+
+def test_curate_corpus_end_to_end(spark, bench):
+    """curate_corpus: every stage removes what it should, counts are exact
+    and lineage-logged, the output text is redacted."""
+    from healthcare_entity_resolution_spark.operators.curate import curate_corpus
+    from healthcare_entity_resolution_spark.operators.decontaminate import (
+        benchmark_shingle_index,
+    )
+    from healthcare_entity_resolution_spark.plans.lineage import LineageLog
+
+    good = ("this is a long and perfectly reasonable english document with "
+            "the usual words that clear every single quality gate easily "
+            "and it keeps going for a while longer")
+    rows = [
+        ("c1", good),
+        ("c2", good),                                  # exact dup of c1
+        ("c3", good.replace("reasonable", "sensible")),  # near dup of c1
+        ("c4", "zz qq " * 3),                          # junk -> quality gate
+        # distinct doc (NOT a superset of c1 — that would fold into c1's
+        # near-dup group, correctly) with PII: redacted, survives
+        ("c5", "an entirely different english story about the weather and "
+               "the wide open sea where the wind is strong and the boats "
+               "come home at night write to me at a.b@c.io please"),
+        # verbatim benchmark copy -> decontamination
+        ("c6", "what is the capital of france the answer is paris of course"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    idx = benchmark_shingle_index(bench, "bench_id", "text", k=8)
+    lin = LineageLog()
+    out = curate_corpus(
+        docs, "doc_id", "text", lineage=lin, languages=["en"],
+        min_quality=0.5, near_dup_threshold=0.7,
+        bench_index=idx, contamination_threshold=0.5,
+    )
+    kept = {r["doc_id"]: r["text"] for r in out["curated"].collect()}
+    c = out["counts"]
+    assert c["input"] == 6
+    assert c["exact_dedup"] == 5          # c2 collapsed into c1
+    assert c["near_dedup"] == 4           # c3 folded into c1's group
+    assert c["quality_gate"] == 3         # c4 junk dropped
+    assert c["pii"] == 3                  # c5 redacted, not dropped
+    assert c["decontaminated"] == 2       # c6 dropped
+    assert set(kept) == {"c1", "c5"}
+    assert "[email]" in kept["c5"] and "@" not in kept["c5"]
+    assert [e["stage"] for e in lin.events if e["stage"].startswith("curate.")][-1] == "curate.done"
