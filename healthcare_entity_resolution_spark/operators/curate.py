@@ -49,9 +49,15 @@ def curate_corpus(
 ) -> dict[str, object]:
     """Returns ``{"curated": DataFrame, "counts": dict}``; ``counts`` holds
     the per-stage survivor numbers (also lineage-logged per stage)."""
+    from ._ckpt import checkpoint as _checkpoint
+
     counts: dict[str, int] = {"input": docs.count()}
 
     def log(stage: str, df: DataFrame) -> DataFrame:
+        # checkpoint BEFORE counting: each stage's count action must not
+        # re-execute every prior (lazy) stage — without this the per-stage
+        # accounting is O(stages^2) recompute at corpus scale
+        df = _checkpoint(df)
         counts[stage] = df.count()
         lineage.log(f"curate.{stage}", survivors=counts[stage])
         return df
