@@ -138,6 +138,9 @@ class DashboardServer:
                 f"dashboard: no canonical_physicians export under {export_dir!r}"
                 " — run plans.export.export_resolution_tables first"
             )
+        # counts once at startup: snapshots are immutable, and a per-request
+        # count() would full-scan every table on every page load
+        self._table_counts = {t: df.count() for t, df in self.tables.items()}
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self._thread: threading.Thread | None = None
 
@@ -148,7 +151,7 @@ class DashboardServer:
         phys = self.tables["canonical_physicians"]
         if path == "/api/tables":
             return {"tables": [
-                {"table": t, "rows": df.count()} for t, df in self.tables.items()
+                {"table": t, "rows": n} for t, n in self._table_counts.items()
             ]}
         if path == "/api/search":
             mc = qs.get("min_confidence", [None])[0]
