@@ -153,3 +153,45 @@ def normalize_all(
 def load_ground_truth(spark: SparkSession, path: str) -> DataFrame:
     """Ground-truth mapping for the A16 pairwise-F1 evaluation."""
     return spark.read.csv(path, header=True, schema=SOURCE_SCHEMAS["ground_truth"])
+
+
+# ---------------------------------------------------------------------------
+# Corpus document sources (training-data surface)
+# ---------------------------------------------------------------------------
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+def load_documents_jsonl(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL document reader with corrupt-line quarantine.
+
+    At 100 TB some fraction of lines is always malformed (truncated writes,
+    encoding damage); FAILFAST would kill a day-long job on one bad byte and
+    DROPMALFORMED discards silently.  Returns ``(good, quarantined)`` —
+    good rows typed per DOCUMENTS_SCHEMA, quarantined raw lines for replay.
+
+    Implementation is text-scan + ``from_json`` rather than the PERMISSIVE
+    ``_corrupt_record`` reader: the corrupt column cannot be queried on its
+    own without caching the whole parse (SPARK-21610) — a non-starter at
+    corpus scale — while this shape is one streaming pass, splits cleanly,
+    and the explicit schema avoids a full inference pass.  A line parsing
+    to an all-null struct (e.g. ``{}``) is quarantined too: a document with
+    neither id nor text is noise either way."""
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json("value", DOCUMENTS_SCHEMA).alias("j"),
+    )
+    ok = F.col("j").isNotNull() & (
+        F.col("j.doc_id").isNotNull() | F.col("j.text").isNotNull()
+    )
+    good = parsed.where(ok).select("j.*")
+    bad = parsed.where(~ok).select(F.col("value").alias("raw_line"))
+    return good, bad

@@ -84,3 +84,22 @@ def test_load_and_normalize_all(spark, tmp_path):
 
     gt = load_ground_truth(spark, os.path.join(d, "ground_truth.csv"))
     assert gt.count() == 1
+
+
+def test_load_documents_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    from healthcare_entity_resolution_spark.sources import load_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web"}\n'
+        'this line is not json at all {{{\n'
+        '{"doc_id": 3, "text": "ok", "lang": "en", "source": "web"}\n'
+    )
+    good, bad = load_documents_jsonl(spark, str(p))
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["text"] == "hello world" and rows[2]["lang"] == "fr"
+    assert good.schema["doc_id"].dataType.typeName() == "long"
+    quarantined = [r["raw_line"] for r in bad.collect()]
+    assert len(quarantined) == 1 and quarantined[0].startswith("this line")
