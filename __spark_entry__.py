@@ -277,16 +277,22 @@ def q_dedup_exact(spark, sf):
 
 def q_dedup_ngram_jaccard(spark, sf):
     """Routed through dedup.ngram_jaccard_pairs: id-only candidates via the
-    salted candidate_pairs discipline (a no-op below max_block_size, so the
-    unsalted SQL oracle agrees at driver scale), gram arrays joined back
-    post-pairing."""
+    candidate_pairs discipline, gram arrays joined back post-pairing.  The
+    DuckDB oracle is an exact (unsalted) block join, so this oracle-checked
+    query pins max_block_size to 2^31: salting must stay a no-op at ANY
+    scale factor the driver picks, instead of silently dropping cross-salt
+    pairs once a (lang,bucket) block outgrows the production default."""
+    import dataclasses
+
+    from healthcare_entity_resolution_spark.config import DEFAULT_CONFIG
     from healthcare_entity_resolution_spark.operators import dedup as D
 
     d = _t(spark, sf, "documents").withColumn(
         "bucket", (F.col("n_chars") / 100).cast("int")
     )
+    exact_cfg = dataclasses.replace(DEFAULT_CONFIG, max_block_size=2**31)
     out = D.ngram_jaccard_pairs(
-        d, "doc_id", "text", ["lang", "bucket"], n=1, threshold=0.5
+        d, "doc_id", "text", ["lang", "bucket"], n=1, threshold=0.5, cfg=exact_cfg
     )
     return out.select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")

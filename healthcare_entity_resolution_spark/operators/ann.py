@@ -18,11 +18,15 @@ table by, so the scan only reads the probed buckets.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
 
 
 def _dot(a, b):
@@ -106,6 +110,25 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
     rng = np.random.default_rng(seed)
     p = rng.standard_normal((n_planes, dim))
     return p / np.linalg.norm(p, axis=1, keepdims=True)
+
+
+def clamp_sign_planes(n_planes: int, dim: int) -> int:
+    """:func:`sign_bucket` derives bit i from ``vec[i]``; a bit past the
+    embedding dimension reads NULL and collapses to 0, silently saturating
+    the bucket count at ``2^dim`` (expected occupancy then stays far above
+    target and the salting cap drops pairs).  Clamp auto-sized plane counts
+    to the dimension and log when it happens — past ``dim`` axis bits,
+    :func:`projected_bucket` with :func:`random_hyperplanes` is the right
+    tool."""
+    if n_planes > dim:
+        _LOG.warning(
+            "sign-LSH: clamping n_planes %d to embedding dim %d "
+            "(use random_hyperplanes/projected_bucket for more bits)",
+            n_planes,
+            dim,
+        )
+        return max(1, dim)
+    return n_planes
 
 
 def auto_n_planes(n_rows: int, target_bucket_rows: int = 4096) -> int:
@@ -203,6 +226,7 @@ def sign_lsh_topk(
     cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
 
     if axis_planes:
+        n_planes = clamp_sign_planes(n_planes, len(query_vec))
         e = e.withColumn("bucket", sign_bucket(F.col("v"), n_planes))
         qb = sum((1 << i) for i in range(n_planes) if query_vec[i] >= 0)
         probes = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
@@ -459,6 +483,9 @@ def all_pairs_near_duplicates(
     else:
         if n_planes is None:
             n_planes = auto_n_planes(e.count())
+        first = e.select(F.size("v").alias("d")).first()
+        if first is not None and first["d"] is not None and first["d"] > 0:
+            n_planes = clamp_sign_planes(n_planes, int(first["d"]))
         bucket = sign_bucket(F.col("v"), n_planes)
     keyed = e.select(
         F.col("id").alias("_id"),

@@ -284,11 +284,28 @@ def ngram_jaccard_pairs(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
         )
     # id-only keyed frame: the blocking shuffle carries (id, block-key)
-    # only — grams are joined back per side AFTER pair generation
-    keyed = df.select(
+    # only — grams are joined back per side AFTER pair generation.
+    # NULL/delimiter semantics: a multi-column equality join never matches a
+    # NULL key, so rows with any NULL block column are dropped up front, and
+    # the key is the JSON encoding of the column struct (JSON escapes the
+    # values, so "a|b"+"c" vs "a"+"b|c" cannot collide the way a plain
+    # concat_ws would).
+    nonnull = df
+    for c in block_cols:
+        nonnull = nonnull.where(F.col(c).isNotNull())
+    keyed = nonnull.select(
         F.col(id_col).alias("_id"),
-        F.concat_ws("|", F.lit("ng"), *[F.col(c).cast("string") for c in block_cols])
-        .alias("_bk"),
+        F.concat(
+            F.lit("ng"),
+            F.to_json(
+                F.struct(
+                    *[
+                        F.col(c).cast("string").alias(f"c{i}")
+                        for i, c in enumerate(block_cols)
+                    ]
+                )
+            ),
+        ).alias("_bk"),
         F.lit("ngram").alias("_strategy"),
     )
     pairs = B.candidate_pairs(keyed, cfg, lineage)

@@ -64,7 +64,6 @@ def redact_pii(
     ``keep_original=True`` -> ``<col>_raw``), adding ``pii_<kind>`` count
     columns and a ``pii_total`` rollup when ``with_counts``."""
     kinds = kinds or list(PII_PATTERNS)
-    cols = list(df.columns)
     out = df
     if with_counts:
         for k, c in pii_counts(F.col(text_col), kinds).items():

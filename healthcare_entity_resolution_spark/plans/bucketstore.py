@@ -119,7 +119,9 @@ def block_store_stats(spark: SparkSession, table: str) -> DataFrame:
     actually generates (sum over salts of C(ns,2)); ``n_pairs_unsalted`` is
     C(n,2) — the difference is the salting drop."""
     sub = spark.table(table).groupBy("_bk").agg(F.count("*").alias("ns"))
-    blk = F.element_at(F.split(F.col("_bk"), "#"), 1)
+    # strip ONLY a trailing #<digits> salt suffix — a natural key that
+    # happens to contain '#' keeps its full identity
+    blk = F.regexp_replace(F.col("_bk"), r"#\d+$", "")
     return (
         sub.groupBy(blk.alias("block"))
         .agg(

@@ -74,10 +74,12 @@ _PAGE = """<!doctype html>
 <div id="provenance"></div>
 <script>
 async function getJSON(u){const r=await fetch(u);return r.json()}
+function esc(v){return String(v).replace(/&/g,"&amp;").replace(/</g,"&lt;")
+ .replace(/>/g,"&gt;").replace(/"/g,"&quot;").replace(/'/g,"&#39;")}
 function render(rows){if(!rows||!rows.length)return "<i>no rows</i>";
  const cols=Object.keys(rows[0]);
- return "<table><tr>"+cols.map(c=>"<th>"+c+"</th>").join("")+"</tr>"+
-  rows.map(r=>"<tr>"+cols.map(c=>"<td>"+(r[c]??"")+"</td>").join("")+"</tr>").join("")+"</table>"}
+ return "<table><tr>"+cols.map(c=>"<th>"+esc(c)+"</th>").join("")+"</tr>"+
+  rows.map(r=>"<tr>"+cols.map(c=>"<td>"+esc(r[c]??"")+"</td>").join("")+"</tr>").join("")+"</table>"}
 async function boot(){const t=await getJSON("/api/tables");
  document.getElementById("tables").innerHTML=render(t.tables)}
 async function search(){
