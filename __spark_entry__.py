@@ -211,6 +211,30 @@ def q_a13_score_stats(spark, sf):
     )
 
 
+def q_a9_a12_a13_report_suite(spark, sf):
+    """A9 countDistinct + A12 histogram + A13 score stats melted into one
+    long-format (grp, metric, value) frame.  Consolidates three sibling
+    aggregation keys into a single driver slot (round-4 VERDICT item 1) so
+    the freed slots carry the decontamination and redaction oracle checks —
+    all three aggregation patterns stay value-checked, just via one union."""
+    a9m = q_a9_countdistinct(spark, sf).selectExpr(
+        "l_returnflag AS grp",
+        "stack(2, 'n_parts', CAST(n_parts AS DOUBLE), "
+        "'n_supps', CAST(n_supps AS DOUBLE)) AS (metric, value)",
+    )
+    a12m = q_a12_histogram(spark, sf).select(
+        F.col("bucket").alias("grp"),
+        F.lit("n").alias("metric"),
+        F.col("n").cast("double").alias("value"),
+    )
+    a13m = q_a13_score_stats(spark, sf).selectExpr(
+        "l_returnflag AS grp",
+        "stack(4, 'min_d', min_d, 'max_d', max_d, "
+        "'avg_d', avg_d, 'med_d', med_d) AS (metric, value)",
+    )
+    return a9m.unionByName(a12m).unionByName(a13m)
+
+
 def q_a14_coverage(spark, sf):
     d = _t(spark, sf, "documents")
     return d.groupBy("source").agg(
@@ -272,6 +296,69 @@ def q_dedup_exact(spark, sf):
     return d.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
+    )
+
+
+def q_decontam_overlap(spark, sf):
+    """Value-checks decontaminate.contamination_report end to end.  The
+    'benchmark' is the deterministic doc_id % 41 == 0 subset of documents;
+    k=8 char shingles.  The byte-window hash kernel (functions/text.py
+    shingle_hashes) is injective for k <= 8 and the corpus is ASCII, so the
+    DuckDB oracle's substr-based shingles produce identical distinct and
+    overlap counts."""
+    from healthcare_entity_resolution_spark.operators import decontaminate as DC
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.pmod(F.col("doc_id"), 41) == 0)
+    idx = DC.benchmark_shingle_index(bench, "doc_id", "text", k=8)
+    rep = DC.contamination_report(d, idx, "doc_id", "text", k=8, threshold=0.5)
+    return rep.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round("overlap_ratio", 6).alias("overlap_ratio"),
+        F.col("contaminated"),
+    )
+
+
+def q_redact_counts(spark, sf):
+    """Value-checks redact.redact_pii (the full regexp_replace chain plus
+    the regexp_count columns).  The word-soup corpus carries no PII, so the
+    query plants deterministic email/phone/ipv4/ssn/api-key strings derived
+    from doc_id — the oracle builds the exact same strings and replays the
+    chain with DuckDB regexp functions (both engines are leftmost-first,
+    non-overlapping)."""
+    from healthcare_entity_resolution_spark.operators import redact as R
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" call 555-"),
+        F.lpad(F.pmod(did, 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(did, 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), F.pmod(did, 256).cast("string"),
+        F.lit("."), F.pmod(did * 7, 256).cast("string"),
+        F.when(
+            F.pmod(did, 3) == 0,
+            F.concat(F.lit(" ssn 123-45-"),
+                     F.lpad(F.pmod(did, 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(did, 5) == 0,
+            F.concat(F.lit(" key AKIA"),
+                     F.lpad(F.pmod(did, 100000).cast("string"), 16, "0")),
+        ).otherwise(F.lit("")),
+    )
+    out = R.redact_pii(d.select("doc_id", planted.alias("text")), "text")
+    kinds = ["email", "phone", "ipv4", "ssn", "api_key"]
+    return out.select(
+        "doc_id",
+        F.col("text").alias("redacted"),
+        *[F.col(f"pii_{k}").cast("long").alias(f"pii_{k}") for k in kinds],
+        F.col("pii_total").cast("long").alias("pii_total"),
     )
 
 
@@ -1156,16 +1243,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_decision_tallies": q_a3_tallies,
         "a4_a6_mode_per_key": q_a4_a6_mode,
         "a5_a8_group_argmax": q_a5_a8_group,
-        "a9_count_distinct": q_a9_countdistinct,
+        "a9_a12_a13_report_suite": q_a9_a12_a13_report_suite,
         "a10_edge_aggregation": q_a10_edge_agg,
-        "a12_histogram": q_a12_histogram,
-        "a13_score_stats": q_a13_score_stats,
         "a14_coverage_ratios": q_a14_coverage,
         "a15_multi_value_keys": q_a15_multi,
         "a16_pairwise_f1": q_a16_pairwise_f1,
         "a17_topk": q_a17_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "decontam_overlap": q_decontam_overlap,
+        "redact_counts": q_redact_counts,
         "emb_cosine_topk": q_emb_cosine_topk,
         "text_token_counts_stats": q_token_counts_stats,
         "p3_tokenize": q_p3_tokenize,
@@ -1194,6 +1281,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n5_colleague_merge": q_n5_colleague_merge,
         "g13_cluster_quality": q_g13_cluster_quality,
     }
+
+
+# single source of truth for the redaction oracle: the exact PII regexes the
+# Spark operator chains (Java regex and DuckDB's RE2 agree on this subset —
+# classes, \b, \d, \s, non-capturing groups, bounded reps; no lookaround).
+# Patterns contain no single quotes, so plain SQL-literal interpolation is
+# safe.
+from healthcare_entity_resolution_spark.operators.redact import (  # noqa: E402
+    PII_PATTERNS as _PII_PATTERNS,
+)
+
+_PII_EMAIL = _PII_PATTERNS["email"]
+_PII_PHONE = _PII_PATTERNS["phone"]
+_PII_IPV4 = _PII_PATTERNS["ipv4"]
+_PII_SSN = _PII_PATTERNS["ssn"]
+_PII_API_KEY = _PII_PATTERNS["api_key"]
 
 
 # single-operator oracle SQL fragments composed into the merged-query oracles
@@ -1435,25 +1538,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT x.c_nationkey, x.n, x.avg_bal, x.min_bal, y.best_custkey "
             "FROM x JOIN y USING (c_nationkey)"
         ),
-        "a9_count_distinct": (
-            "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
-            "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag"
+        "a9_a12_a13_report_suite": (
+            "WITH a9 AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+            " count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag), "
+            "a13 AS (SELECT l_returnflag, round(min(l_discount), 6) AS min_d, "
+            " round(max(l_discount), 6) AS max_d, round(avg(l_discount), 6) AS avg_d, "
+            " round(median(l_discount), 6) AS med_d FROM lineitem GROUP BY l_returnflag), "
+            "a12 AS (SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k' "
+            " WHEN o_totalprice < 150000 THEN '50k_150k' "
+            " WHEN o_totalprice < 300000 THEN '150k_300k' ELSE 'gte_300k' END AS bucket, "
+            " count(*) AS n FROM orders GROUP BY 1) "
+            "SELECT l_returnflag AS grp, 'n_parts' AS metric, n_parts::DOUBLE AS value FROM a9 "
+            "UNION ALL SELECT l_returnflag, 'n_supps', n_supps::DOUBLE FROM a9 "
+            "UNION ALL SELECT bucket, 'n', n::DOUBLE FROM a12 "
+            "UNION ALL SELECT l_returnflag, 'min_d', min_d FROM a13 "
+            "UNION ALL SELECT l_returnflag, 'max_d', max_d FROM a13 "
+            "UNION ALL SELECT l_returnflag, 'avg_d', avg_d FROM a13 "
+            "UNION ALL SELECT l_returnflag, 'med_d', med_d FROM a13"
         ),
         "a10_edge_aggregation": (
             "SELECT user_id AS src, event_id % 100 AS dst, count(*) AS n_events, "
             "epoch_us(max(ts)) AS last_us FROM events "
             "WHERE user_id != event_id % 100 GROUP BY 1, 2"
-        ),
-        "a12_histogram": (
-            "SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k' "
-            " WHEN o_totalprice < 150000 THEN '50k_150k' "
-            " WHEN o_totalprice < 300000 THEN '150k_300k' ELSE 'gte_300k' END AS bucket, "
-            "count(*) AS n FROM orders GROUP BY 1"
-        ),
-        "a13_score_stats": (
-            "SELECT l_returnflag, round(min(l_discount), 6) AS min_d, "
-            "round(max(l_discount), 6) AS max_d, round(avg(l_discount), 6) AS avg_d, "
-            "round(median(l_discount), 6) AS med_d FROM lineitem GROUP BY l_returnflag"
         ),
         "a14_coverage_ratios": (
             "SELECT source, round(avg(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END), 6) "
@@ -1491,6 +1597,55 @@ def oracle_sql() -> dict[str, str]:
             "   len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard "
             " FROM base a JOIN base b ON a.lang = b.lang AND a.bucket = b.bucket "
             "  AND a.doc_id < b.doc_id) WHERE jaccard >= 0.5"
+        ),
+        "decontam_overlap": (
+            # substr-based k=8 shingles: the Spark side's byte-window hash is
+            # injective for k<=8 and the corpus is ASCII, so distinct/overlap
+            # counts are identical
+            "WITH dsh AS (SELECT doc_id, substr(lower(text), i, 8) AS s "
+            " FROM documents, unnest(range(1, length(text) - 6)) AS t(i) "
+            " GROUP BY 1, 2), "
+            "idx AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 41 = 0), "
+            "nsh AS (SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY 1), "
+            "hits AS (SELECT d.doc_id, count(*) AS n_hits "
+            " FROM dsh d JOIN idx USING (s) GROUP BY 1) "
+            "SELECT n.doc_id::VARCHAR AS doc_id, n.n_shingles, "
+            " coalesce(h.n_hits, 0)::BIGINT AS n_hits, "
+            " round(coalesce(h.n_hits, 0)::DOUBLE / n.n_shingles, 6) AS overlap_ratio, "
+            " (coalesce(h.n_hits, 0)::DOUBLE / n.n_shingles) >= 0.5 AS contaminated "
+            "FROM nsh n LEFT JOIN hits h USING (doc_id)"
+        ),
+        "redact_counts": (
+            "WITH planted AS (SELECT doc_id, "
+            " text || ' contact user' || doc_id::VARCHAR || '@example.com' || "
+            " ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || "
+            " '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+            " ' from 10.0.' || (doc_id % 256)::VARCHAR || '.' || "
+            " ((doc_id * 7) % 256)::VARCHAR || "
+            " CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' || "
+            "  lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END || "
+            " CASE WHEN doc_id % 5 = 0 THEN ' key AKIA' || "
+            "  lpad((doc_id % 100000)::VARCHAR, 16, '0') ELSE '' END AS text "
+            " FROM documents) "
+            "SELECT doc_id, "
+            " regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "  regexp_replace(text, "
+            "   '" + _PII_EMAIL + "', '[email]', 'g'), "
+            "   '" + _PII_PHONE + "', '[phone]', 'g'), "
+            "   '" + _PII_IPV4 + "', '[ipv4]', 'g'), "
+            "   '" + _PII_SSN + "', '[ssn]', 'g'), "
+            "   '" + _PII_API_KEY + "', '[api_key]', 'g') AS redacted, "
+            " len(regexp_extract_all(text, '" + _PII_EMAIL + "'))::BIGINT AS pii_email, "
+            " len(regexp_extract_all(text, '" + _PII_PHONE + "'))::BIGINT AS pii_phone, "
+            " len(regexp_extract_all(text, '" + _PII_IPV4 + "'))::BIGINT AS pii_ipv4, "
+            " len(regexp_extract_all(text, '" + _PII_SSN + "'))::BIGINT AS pii_ssn, "
+            " len(regexp_extract_all(text, '" + _PII_API_KEY + "'))::BIGINT AS pii_api_key, "
+            " (len(regexp_extract_all(text, '" + _PII_EMAIL + "')) + "
+            "  len(regexp_extract_all(text, '" + _PII_PHONE + "')) + "
+            "  len(regexp_extract_all(text, '" + _PII_IPV4 + "')) + "
+            "  len(regexp_extract_all(text, '" + _PII_SSN + "')) + "
+            "  len(regexp_extract_all(text, '" + _PII_API_KEY + "')))::BIGINT AS pii_total "
+            "FROM planted"
         ),
         "emb_cosine_topk": (
             "WITH ed AS (SELECT vec_id, "
