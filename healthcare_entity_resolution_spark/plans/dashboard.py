@@ -20,6 +20,9 @@ fetch the JSON endpoints:
 - ``GET /api/influencers``   page 02 — top-k influencers
 - ``GET /api/provenance``    page 03 — entity drill-down
 - ``GET /api/stats``         page 04 — run reports (JSON files under run_dir)
+- ``GET /api/network``       ego network of one node (the reference's pyvis
+  force-layout page, network_viz.py:80-123, served as nodes+edges JSON and
+  rendered client-side as an inline-SVG force layout — no external assets)
 
 Endpoints accept the pages' own parameters (states, specialties,
 min_confidence, name, npi, canonical_id, k, limit).  The server is a
@@ -36,9 +39,19 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import explore
 from .snapshots import SnapshotStore
+
+# relationship colors mirror the reference's _get_relationship_color
+# (network_viz.py:126-135)
+_REL_COLORS = {
+    "center": "#ff6b6b",
+    "referral_in": "#4ecdc4",
+    "referral_out": "#45b7d1",
+    "colleague": "#96ceb4",
+}
 
 EXPORT_TABLES = (
     "source_records", "canonical_physicians", "source_canonical_mapping",
@@ -72,6 +85,10 @@ _PAGE = """<!doctype html>
 <input id="p_cid" placeholder="canonical id">
 <button onclick="provenance()">Trace</button>
 <div id="provenance"></div>
+<h2>Ego network</h2>
+<input id="n_id" placeholder="canonical id">
+<button onclick="network()">Show</button>
+<div id="network"></div>
 <script>
 async function getJSON(u){const r=await fetch(u);return r.json()}
 function esc(v){return String(v).replace(/&/g,"&amp;").replace(/</g,"&lt;")
@@ -101,6 +118,41 @@ async function provenance(){
  const d=await getJSON("/api/provenance?"+p);
  document.getElementById("provenance").innerHTML=
   "<h3>matches</h3>"+render(d.matches)+"<h3>source mapping</h3>"+render(d.source_mapping)}
+// tiny force layout (repulsion + springs + center gravity) -> inline SVG;
+// same visual contract as the reference's pyvis page, zero external assets
+function forceSVG(d,W,H){
+ const ns=d.nodes, es=d.edges, n=ns.length, idx={};
+ ns.forEach((nd,i)=>{idx[nd.id]=i;
+  const a=2*Math.PI*i/Math.max(1,n-1);
+  nd.x=nd.relationship==="center"?W/2:W/2+Math.cos(a)*W/4;
+  nd.y=nd.relationship==="center"?H/2:H/2+Math.sin(a)*H/4});
+ for(let it=0;it<250;it++){
+  for(let i=0;i<n;i++)for(let j=i+1;j<n;j++){
+   let dx=ns[j].x-ns[i].x, dy=ns[j].y-ns[i].y;
+   let d2=dx*dx+dy*dy+0.01, f=1800/d2;
+   dx*=f; dy*=f; ns[i].x-=dx; ns[i].y-=dy; ns[j].x+=dx; ns[j].y+=dy}
+  es.forEach(e=>{const a=ns[idx[e.from]], b=ns[idx[e.to]];
+   if(!a||!b)return;
+   const dx=b.x-a.x, dy=b.y-a.y, dist=Math.sqrt(dx*dx+dy*dy)+0.01;
+   const f=0.02*(dist-90)/dist;
+   a.x+=dx*f; a.y+=dy*f; b.x-=dx*f; b.y-=dy*f});
+  ns.forEach(nd=>{nd.x+=(W/2-nd.x)*0.01; nd.y+=(H/2-nd.y)*0.01;
+   nd.x=Math.min(W-20,Math.max(20,nd.x)); nd.y=Math.min(H-20,Math.max(20,nd.y))})}
+ let s='<svg width="'+W+'" height="'+H+'" style="border:1px solid #ccc">';
+ es.forEach(e=>{const a=ns[idx[e.from]], b=ns[idx[e.to]]; if(!a||!b)return;
+  s+='<line x1="'+a.x+'" y1="'+a.y+'" x2="'+b.x+'" y2="'+b.y+
+   '" stroke="#999" stroke-width="'+Math.min(5,e.weight)+'"/>'});
+ ns.forEach(nd=>{const r=Math.min(22,nd.size/2);
+  s+='<circle cx="'+nd.x+'" cy="'+nd.y+'" r="'+r+'" fill="'+esc(nd.color)+
+   '"><title>'+esc(nd.relationship)+'</title></circle>'+
+   '<text x="'+nd.x+'" y="'+(nd.y-r-3)+'" text-anchor="middle" font-size="10">'+
+   esc(nd.label)+'</text>'});
+ return s+"</svg>"}
+async function network(){
+ const id=document.getElementById("n_id").value;
+ const d=await getJSON("/api/network?node_id="+encodeURIComponent(id));
+ document.getElementById("network").innerHTML=
+  d.error?esc(d.error):forceSVG(d,680,420)}
 boot()
 </script></body></html>"""
 
@@ -185,6 +237,11 @@ class DashboardServer:
                 name_contains=qs.get("name", [None])[0],
             )
             return {k: _rows(df, limit) for k, df in got.items()}
+        if path == "/api/network":
+            node = qs.get("node_id", [None])[0]
+            if not node:
+                raise ValueError("network: node_id parameter required")
+            return self._ego_json(node, limit)
         if path == "/api/stats":
             # page 04 reads the run's JSON reports verbatim
             reports_dir = os.path.join(self.export_dir, "reports")
@@ -196,6 +253,64 @@ class DashboardServer:
                             reports[f[:-5]] = json.load(fh)
             return {"reports": reports}
         raise KeyError(path)
+
+    def _ego_json(self, node: str, limit: int) -> dict:
+        """Ego network as nodes+edges JSON, mirroring the reference's
+        render_ego_network contract (network_viz.py:80-123: center node
+        size 30 / red, neighbors sized 15 + 2*weight and colored by
+        relationship).  The engine side is operators/network.ego_network —
+        two pushdown-able equality filters over the referrals snapshot; only
+        the page-sized 1-hop frontier is collected."""
+        from ..operators import network as N
+
+        names: dict[str, str] = {}
+        phys = self.tables["canonical_physicians"]
+
+        def label(i) -> str:
+            return names.get(i) or str(i)
+
+        nodes = []
+        edges = []
+        refs = self.tables.get("referrals")
+        if refs is not None:
+            e = refs.select(
+                F.col("referring_physician_id").alias("src"),
+                F.col("receiving_physician_id").alias("dst"),
+                "referral_count",
+            )
+            ego = N.ego_network(e, None, node)
+            out_rows = ego["refers_to"].limit(limit).collect()
+            in_rows = ego["referred_by"].limit(limit).collect()
+        else:
+            out_rows, in_rows = [], []
+        ids = [node] + [r["id"] for r in out_rows] + [r["id"] for r in in_rows]
+        if "name" in phys.columns:
+            names = {
+                r["id"]: r["name"]
+                for r in phys.where(F.col("id").isin(ids))
+                .select("id", "name").collect()
+                if r["name"] is not None
+            }
+        nodes.append({
+            "id": node, "label": label(node), "relationship": "center",
+            "size": 30, "color": _REL_COLORS["center"],
+        })
+        seen = {node}
+        for rel, rows in (("referral_out", out_rows), ("referral_in", in_rows)):
+            for r in rows:
+                w = int(r["referral_count"] or 1)
+                if r["id"] not in seen:  # node may be both in- and out-neighbor
+                    seen.add(r["id"])
+                    nodes.append({
+                        "id": r["id"], "label": label(r["id"]),
+                        "relationship": rel, "size": 15 + 2 * w,
+                        "color": _REL_COLORS[rel],
+                    })
+                src, dst = (node, r["id"]) if rel == "referral_out" else (r["id"], node)
+                edges.append({
+                    "from": src, "to": dst, "weight": w, "relationship": rel,
+                })
+        return {"center": node, "nodes": nodes, "edges": edges}
 
     def _make_handler(self):
         server = self

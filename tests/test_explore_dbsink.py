@@ -331,3 +331,60 @@ def test_dashboard_server_end_to_end(spark, frames, tmp_path):
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_dashboard_network_endpoint(spark, frames, tmp_path):
+    """/api/network serves the reference's ego-network page
+    (network_viz.py:80-123) as nodes+edges JSON: center node size 30,
+    neighbors sized 15 + 2*weight, relationship-colored, edges directed
+    src->dst; the UI shell carries the inline-SVG force layout."""
+    import json
+    import urllib.request
+
+    from healthcare_entity_resolution_spark.plans.dashboard import DashboardServer
+    from healthcare_entity_resolution_spark.plans.snapshots import SnapshotStore
+
+    phys, mapping, _ = frames
+    run_dir = str(tmp_path / "export")
+    store = SnapshotStore(spark, run_dir)
+    store.commit(phys, "canonical_physicians")
+    store.commit(mapping, "source_canonical_mapping")
+    refs = spark.createDataFrame(
+        [("e0", "e1", 5), ("e0", "e2", 2), ("e3", "e0", 1), ("e1", "e2", 9)],
+        "referring_physician_id string, receiving_physician_id string, "
+        "referral_count int",
+    )
+    store.commit(refs, "referrals")
+
+    srv = DashboardServer(spark, run_dir).start()
+    try:
+        jget = lambda p: json.load(  # noqa: E731
+            urllib.request.urlopen(srv.url + p, timeout=60)
+        )
+
+        html = urllib.request.urlopen(srv.url + "/", timeout=60).read().decode()
+        assert "Ego network" in html and "forceSVG" in html
+
+        d = jget("/api/network?node_id=e0")
+        nodes = {n["id"]: n for n in d["nodes"]}
+        assert d["center"] == "e0"
+        assert nodes["e0"]["relationship"] == "center"
+        assert nodes["e0"]["size"] == 30
+        assert nodes["e1"]["relationship"] == "referral_out"
+        assert nodes["e1"]["size"] == 15 + 2 * 5
+        assert nodes["e1"]["label"] == "Mary Jones"  # joined from phys
+        assert nodes["e3"]["relationship"] == "referral_in"
+        got_edges = {(e["from"], e["to"], e["weight"]) for e in d["edges"]}
+        assert got_edges == {("e0", "e1", 5), ("e0", "e2", 2), ("e3", "e0", 1)}
+        assert ("e1", "e2", 9) not in got_edges  # not in e0's 1-hop ego
+
+        import urllib.error
+
+        try:
+            jget("/api/network")  # node_id required
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "node_id" in json.load(e)["error"]
+    finally:
+        srv.stop()
