@@ -46,6 +46,7 @@ def curate_corpus(
     near_dup_threshold: float = 0.85,
     bench_index: DataFrame | None = None,
     contamination_threshold: float = 0.1,
+    credit_cards: bool = False,
 ) -> dict[str, object]:
     """Returns ``{"curated": DataFrame, "counts": dict}``; ``counts`` holds
     the per-stage survivor numbers (also lineage-logged per stage)."""
@@ -92,10 +93,17 @@ def curate_corpus(
     gated = gated.where(F.col("quality_score") >= F.lit(min_quality))
     cur = log("quality_gate", gated.drop("quality_score", "lang_pred"))
 
-    # 4. PII: redact in place, drop the pathological tail
+    # 4. PII: redact in place, drop the pathological tail.  credit_cards=True
+    # adds the Luhn-checked pass — opt-in because it's the one redaction
+    # with a Python stage (still minority-only via the regex prefilter split)
     red = R.redact_pii(cur, text_col)
+    if credit_cards:
+        red = R.redact_credit_cards(red, text_col)
     if max_pii is not None:
-        red = red.where(F.col("pii_total") <= F.lit(max_pii))
+        pii_sum = F.col("pii_total") + (
+            F.col("pii_credit_card") if credit_cards else F.lit(0)
+        )
+        red = red.where(pii_sum <= F.lit(max_pii))
     cur = log("pii", red.drop(*[c for c in red.columns if c.startswith("pii_")]))
 
     # 5. decontamination against the held-out index

@@ -75,3 +75,95 @@ def redact_pii(
     if keep_original:
         out = out.withColumn(f"{text_col}_raw", F.col(text_col))
     return out.withColumn(text_col, redact_text(F.col(text_col), kinds, token))
+
+
+# ---------------------------------------------------------------------------
+# Credit cards — two-stage: codegen regex prefilter, Luhn-checked redaction
+# ---------------------------------------------------------------------------
+
+# candidate shapes: 4-4-4-4 grouped (space/hyphen) or a contiguous 13-19
+# digit run.  Deliberately loose — Luhn decides; a random digit run passes
+# Luhn only ~10% of the time, so precision comes from the checksum, recall
+# from the loose shape.
+CC_CANDIDATE = r"(?:\b(?:\d{4}[ \-]){3}\d{4}\b|\b\d{13,19}\b)"
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn checksum over a pure-digit string (ISO/IEC 7812)."""
+    if not digits.isdigit() or not 13 <= len(digits) <= 19:
+        return False
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def redact_credit_cards(
+    df: DataFrame,
+    text_col: str,
+    token: str = "[credit_card]",
+    with_counts: bool = True,
+) -> DataFrame:
+    """Redact Luhn-valid card numbers; adds ``pii_credit_card`` when
+    ``with_counts``.
+
+    Luhn isn't regex-expressible, so this is the one redaction with a
+    Python stage — kept off the hot path by a two-stage split: a JVM
+    ``regexp_count`` prefilter routes candidate-free rows (the overwhelming
+    majority of a real corpus) through a pure-codegen branch that never
+    crosses into Arrow; only flagged rows pay the pandas-UDF Luhn check.
+    At 100 TB the source is scanned twice (the regex can't push down), but
+    each branch is one codegen stage and Python sees only the minority."""
+    import re
+
+    from pyspark.sql import types as T
+
+    cc_re = re.compile(CC_CANDIDATE)
+
+    def _luhn_batches(batches):
+        for pdf in batches:
+            reds, ns = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    reds.append(None)
+                    ns.append(0)
+                    continue
+                n = 0
+
+                def sub(m: re.Match) -> str:
+                    nonlocal n
+                    if luhn_valid(re.sub(r"[ \-]", "", m.group(0))):
+                        n += 1
+                        return token
+                    return m.group(0)
+
+                reds.append(cc_re.sub(sub, t))
+                ns.append(n)
+            pdf = pdf.assign(**{text_col: reds, "pii_credit_card": ns})
+            yield pdf
+
+    # coalesce: regexp_count(NULL) is NULL, which would drop NULL-text rows
+    # from BOTH branches of the split
+    cand = F.coalesce(
+        F.regexp_count(F.col(text_col), F.lit(CC_CANDIDATE)), F.lit(0)
+    )
+    base = df.withColumn("_cc_cand", cand)
+    clean = base.where(F.col("_cc_cand") == 0).withColumn(
+        "pii_credit_card", F.lit(0)
+    )
+    flagged_schema = T.StructType(
+        list(base.schema.fields)
+        + [T.StructField("pii_credit_card", T.IntegerType())]
+    )
+    flagged = base.where(F.col("_cc_cand") > 0).mapInPandas(
+        _luhn_batches, schema=flagged_schema
+    )
+    out = clean.unionByName(flagged).drop("_cc_cand")
+    if not with_counts:
+        out = out.drop("pii_credit_card")
+    return out

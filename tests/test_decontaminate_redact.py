@@ -160,3 +160,55 @@ def test_curate_corpus_end_to_end(spark, bench):
     assert set(kept) == {"c1", "c5"}
     assert "[email]" in kept["c5"] and "@" not in kept["c5"]
     assert [e["stage"] for e in lin.events if e["stage"].startswith("curate.")][-1] == "curate.done"
+
+
+def test_luhn_valid_scalar():
+    # 4111111111111111 is the canonical Luhn-valid test PAN; +1 breaks it
+    assert R.luhn_valid("4111111111111111")
+    assert R.luhn_valid("378282246310005")   # 15-digit Amex test number
+    assert not R.luhn_valid("4111111111111112")
+    assert not R.luhn_valid("1234567890123456")
+    assert not R.luhn_valid("411111111111")   # too short
+    assert not R.luhn_valid("41111111111111x1")
+
+
+def test_redact_credit_cards_two_stage(spark):
+    """True positives (valid Luhn, plain + grouped) are replaced; false
+    positives (16-digit ids failing Luhn, short digit runs) survive; rows
+    with no candidates never enter the Python stage (plan-asserted)."""
+    rows = [
+        (0, "pay with 4111111111111111 now"),            # valid, contiguous
+        (1, "card 4111-1111-1111-1111 on file"),         # valid, grouped
+        (2, "order id 1234567890123456 shipped"),        # fails Luhn -> kept
+        (3, "call 555-867-5309"),                        # no candidate
+        (4, "amex 3782 8224 6310 005 no"),               # 4-4-4-4 shape only:
+                                                          # 15-digit grouped
+                                                          # amex not matched
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = R.redact_credit_cards(df, "text")
+    got = {r["id"]: (r["text"], r["pii_credit_card"]) for r in out.collect()}
+    assert got[0] == ("pay with [credit_card] now", 1)
+    assert got[1] == ("card [credit_card] on file", 1)
+    assert got[2] == ("order id 1234567890123456 shipped", 0)
+    assert got[3] == ("call 555-867-5309", 0)
+    assert got[4][1] == 0
+    assert got[5] == (None, 0)
+
+    # the candidate-free branch stays JVM-only: its plan has no ArrowEvalPython
+    clean_side = df.where(
+        F.regexp_count(F.col("text"), F.lit(R.CC_CANDIDATE)) == 0
+    )
+    plan = clean_side._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_redact_credit_cards_composes_with_pii(spark):
+    df = spark.createDataFrame(
+        [(0, "mail a@b.co card 4111111111111111")], "id long, text string"
+    )
+    out = R.redact_credit_cards(R.redact_pii(df, "text"), "text")
+    r = out.collect()[0]
+    assert r["text"] == "mail [email] card [credit_card]"
+    assert r["pii_email"] == 1 and r["pii_credit_card"] == 1
