@@ -379,6 +379,9 @@ def query_ivf_index(
     return (
         idx.where(F.col("list_id").isin(probes))
         .select(id_col, F.round(cos, 6).alias("cosine"))
+        # id dedup makes at-least-once appends (append_ivf_index under
+        # crash replay) harmless at query time
+        .dropDuplicates([id_col])
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -417,6 +420,100 @@ def build_lsh_index(
     )
     idx.write.mode("overwrite").partitionBy("tb").parquet(path)
     return planes
+
+
+def append_lsh_index(
+    new_embeddings: DataFrame,
+    path: str,
+    planes_per_table: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a :func:`build_lsh_index` layout —
+    ``mode('append') + partitionBy`` writes ONLY the bucket directories the
+    new vectors land in; existing partitions are untouched, so maintenance
+    cost is O(batch), not O(index).  ``planes_per_table`` must be the
+    matrices the original build returned (or
+    :func:`random_hyperplanes` regenerated with the same (dim, n_planes,
+    seed)); mixing plane sets silently corrupts recall.
+
+    Replay-safe by the query side: :func:`query_lsh_index` dedups on
+    ``id_col``, so a crash-replayed micro-batch appending the same ids
+    twice costs bytes, not correctness (compact by rebuilding when the
+    duplicate fraction grows)."""
+    e = new_embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    idx = e.select(
+        F.col(id_col), F.col("v"),
+        F.explode(table_buckets(F.col("v"), planes_per_table)).alias("tb"),
+    )
+    idx.write.mode("append").partitionBy("tb").parquet(path)
+
+
+def append_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Incrementally add vectors to a :func:`build_ivf_index` layout: new
+    vectors are assigned to the EXISTING centroids (read from
+    ``<path>/_centroids`` unless passed) and appended to their list
+    partitions only.  Centroids deliberately don't move — queries stay
+    consistent and old lists don't need re-writing; rebuild when drift
+    between data and centroids degrades recall.  Returns the centroids so
+    hot paths can cache them."""
+    if centroids is None:
+        spark = new_embeddings.sparkSession
+        rows = spark.read.parquet(f"{path}/_centroids").collect()
+        centroids = np.array(
+            [r["centroid"] for r in sorted(rows, key=lambda r: r["list_id"])],
+            dtype=np.float64,
+        )
+    e = new_embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = e.withColumn("list_id", _ivf_assign_udf(centroids)(F.col("v")))
+    assigned.write.mode("append").partitionBy("list_id").parquet(f"{path}/data")
+    return centroids
+
+
+def ann_index_stream(
+    spark,
+    input_dir: str,
+    index_path: str,
+    planes_per_table: list[np.ndarray],
+    schema: str = "vec_id long, embedding array<float>",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming ANN index maintenance: readStream(parquet dir) ->
+    foreachBatch(:func:`append_lsh_index`).  Each micro-batch writes only
+    its touched bucket partitions; queries against ``index_path`` see new
+    vectors as soon as the batch commits, still partition-pruned.  Same
+    foreachBatch discipline as streaming/incremental.py — the checkpoint
+    dir gives at-least-once appends, and the query-side id dedup makes
+    replays harmless."""
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_lsh_index(
+            batch_df, index_path, planes_per_table,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation",
+        checkpoint_dir or f"{index_path}/_stream_checkpoint",
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def query_lsh_index(

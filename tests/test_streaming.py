@@ -273,3 +273,60 @@ def test_watermarked_ingest_metrics(spark, tmp_path):
     assert py_1000 == (2, 8)            # on-time + late row both counted
     assert final[("2026-01-01 10:00:00", "java")] == (1, 2)
     assert final[("2026-01-01 10:03:00", "python")] == (1, 2)
+
+
+def test_ann_index_stream_appends_and_prunes(spark, tmp_path):
+    """Streaming ANN maintenance (operators/ann.py append_lsh_index +
+    ann_index_stream): micro-batch appends land only in their bucket
+    partitions; post-append queries see the new vectors through the SAME
+    PartitionFilters-pruned read as the original index, and a replayed
+    (duplicate) append changes nothing at query time."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from healthcare_entity_resolution_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") < 400))
+    late = emb.where(F.col("vec_id") >= 400)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    path = str(tmp_path / "lsh_index")
+    planes = ann.build_lsh_index(base, path, n_planes=4, n_tables=4)
+    before = {r.vec_id for r in ann.query_lsh_index(spark, path, q, planes,
+                                                    k=10).collect()}
+
+    # stream the late vectors in as two parquet drops
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    late1 = late.where(F.col("vec_id") < 450)
+    late2 = late.where(F.col("vec_id") >= 450)
+    late1.write.parquet(str(in_dir / "drop1"))
+    late2.write.parquet(str(in_dir / "drop2"))
+    stq = ann.ann_index_stream(
+        spark, f"{in_dir}/drop*", path, planes, available_now=True,
+    )
+    stq.awaitTermination(120)
+
+    out = ann.query_lsh_index(spark, path, q, planes, k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "tb#" in plan, plan[-2000:]
+
+    after = [r.vec_id for r in out.collect()]
+    # ground truth: full in-memory index over base+late
+    mem = [r.vec_id for r in
+           ann.sign_lsh_topk(emb.where(F.col("vec_id") != 0), q, k=10,
+                             n_planes=4, n_tables=4).collect()]
+    assert after == mem
+    assert set(after) != before or len(before) == 10  # stream was not a no-op
+
+    # crash-replay: appending the same batch again must not change results
+    ann.append_lsh_index(late1, path, planes)
+    again = [r.vec_id for r in
+             ann.query_lsh_index(spark, path, q, planes, k=10).collect()]
+    assert again == after
