@@ -38,13 +38,27 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
     Encodes the text to bytes and combines each k-window into an integer via
     a stride trick + dot product — no per-shingle Python loop.
-    """
+
+    k <= 8: exact little-endian byte encoding (INJECTIVE — distinct windows
+    get distinct ids; the decontamination oracle relies on this).  k > 8:
+    FNV-prime polynomial hash mod 2^64 — a shift by ``j*8 >= 64`` bits is
+    undefined for uint64 (it silently wraps the shift count, collapsing
+    every weight past byte 7 and making long shingles collide en masse;
+    caught when k=20 decontamination flagged 100% of a corpus whose true
+    overlap was bimodal at ~0 and 1)."""
     b = np.frombuffer(text.lower().encode("utf-8", errors="ignore"), dtype=np.uint8)
     if b.size < k:
         return np.unique(b.astype(np.uint64))
     windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    weights = (np.uint64(1) << (np.arange(k, dtype=np.uint64) * np.uint64(8)))
-    return np.unique(windows @ weights)
+    if k <= 8:
+        weights = (np.uint64(1) << (np.arange(k, dtype=np.uint64) * np.uint64(8)))
+    else:
+        m = 1099511628211  # FNV-1a 64-bit prime
+        weights = np.array(
+            [pow(m, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+        )
+    with np.errstate(over="ignore"):  # uint64 wrap IS the mod-2^64 hash
+        return np.unique(windows @ weights)
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:

@@ -46,21 +46,35 @@ def curate_corpus(
     near_dup_threshold: float = 0.85,
     bench_index: DataFrame | None = None,
     contamination_threshold: float = 0.1,
+    contamination_k: int = 8,
     credit_cards: bool = False,
 ) -> dict[str, object]:
-    """Returns ``{"curated": DataFrame, "counts": dict}``; ``counts`` holds
-    the per-stage survivor numbers (also lineage-logged per stage)."""
+    """Returns ``{"curated": DataFrame, "counts": dict, "timings": dict}``;
+    ``counts`` holds the per-stage survivor numbers (also lineage-logged per
+    stage) and ``timings`` the per-stage wall seconds (the checkpoint makes
+    each stage's work land inside its own measurement window)."""
+    import time
+
     from ._ckpt import checkpoint as _checkpoint
 
+    t_start = time.perf_counter()
     counts: dict[str, int] = {"input": docs.count()}
+    timings: dict[str, float] = {"input_count": round(
+        time.perf_counter() - t_start, 3
+    )}
+    t_prev = time.perf_counter()
 
     def log(stage: str, df: DataFrame) -> DataFrame:
         # checkpoint BEFORE counting: each stage's count action must not
         # re-execute every prior (lazy) stage — without this the per-stage
         # accounting is O(stages^2) recompute at corpus scale
+        nonlocal t_prev
         df = _checkpoint(df)
         counts[stage] = df.count()
-        lineage.log(f"curate.{stage}", survivors=counts[stage])
+        timings[stage] = round(time.perf_counter() - t_prev, 3)
+        t_prev = time.perf_counter()
+        lineage.log(f"curate.{stage}", survivors=counts[stage],
+                    seconds=timings[stage])
         return df
 
     # 1. exact dedup
@@ -112,10 +126,12 @@ def curate_corpus(
             "decontaminated",
             DC.decontaminate(
                 cur, bench_index, id_col, text_col,
+                k=contamination_k,
                 threshold=contamination_threshold,
             ),
         )
 
     counts["output"] = counts[list(counts)[-1]]
+    timings["total"] = round(time.perf_counter() - t_start, 3)
     lineage.log("curate.done", **{k: v for k, v in counts.items()})
-    return {"curated": cur, "counts": counts}
+    return {"curated": cur, "counts": counts, "timings": timings}

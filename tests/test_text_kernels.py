@@ -61,6 +61,27 @@ def test_shingle_hashes_vectorized_matches_naive():
     assert got == naive
 
 
+def test_shingle_hashes_long_k_no_mass_collisions():
+    """k > 8 regression: the old 1 << (j*8) weights silently wrapped the
+    shift count past byte 7 (uint64 shift-by->=64 is undefined), collapsing
+    long-shingle ids so badly that unrelated texts looked ~100% overlapping.
+    The polynomial path must keep distinct windows distinct and unrelated
+    texts (near-)disjoint, while the exact count matches substr windows."""
+    import numpy as np
+
+    text = "the quick brown fox jumps over the lazy dog"
+    k = 20
+    got = tf.shingle_hashes(text, k=k)
+    n_windows = len({text[i:i + k] for i in range(len(text) - k + 1)})
+    assert len(got) == n_windows  # no collisions within one doc
+
+    other = tf.shingle_hashes("entirely different words appear in this one", k=k)
+    assert len(np.intersect1d(got, other)) == 0
+
+    # determinism + lowercase normalization preserved across the k>8 path
+    assert np.array_equal(got, tf.shingle_hashes(text.upper(), k=k))
+
+
 def test_rolling_fingerprint_stable():
     assert tf.rolling_fingerprint("some document text " * 10) == tf.rolling_fingerprint(
         "some document text " * 10
