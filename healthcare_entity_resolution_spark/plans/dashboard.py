@@ -216,8 +216,15 @@ class DashboardServer:
                 min_confidence=float(mc) if mc else None,
                 name_contains=qs.get("name", [None])[0],
             )
-            metrics = explore.search_metrics(filtered).collect()[0].asDict()
-            return {"metrics": metrics, "rows": _rows(filtered, limit)}
+            # metrics + page rows are two actions over the same filtered
+            # frame; persisting means the scan+filter executes once and the
+            # page collect reads cache (halves per-request latency)
+            filtered = filtered.persist()
+            try:
+                metrics = explore.search_metrics(filtered).collect()[0].asDict()
+                return {"metrics": metrics, "rows": _rows(filtered, limit)}
+            finally:
+                filtered.unpersist(blocking=False)
         if path == "/api/influencers":
             out = explore.top_influencers(
                 phys,

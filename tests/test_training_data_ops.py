@@ -463,3 +463,34 @@ def test_ngram_jaccard_hot_block_salted(spark):
     # candidates come from the checkpointed id-only pair frame; the gram
     # arrays appear only in the post-pair join-back
     assert "Scan ExistingRDD" in buf.getvalue()
+
+
+def test_ivf_index_append_and_replay(spark, tmp_path):
+    """append_ivf_index assigns new vectors to the EXISTING centroids and
+    appends only their list partitions; post-append queries (still
+    partition-pruned) see the new vectors with full-probe parity, and a
+    replayed append is harmless (query-side id dedup)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") < 400))
+    late = emb.where(F.col("vec_id") >= 400)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf_index")
+
+    cents = ann.build_ivf_index(base, path, n_lists=16, seed=42)
+    returned = ann.append_ivf_index(late, path)  # centroids read from disk
+    assert (returned == cents).all()  # append must reuse, never re-fit
+
+    # full probe (nprobe=16) == brute force over base+late: the appended
+    # vectors are reachable through their assigned lists
+    got = [r.vec_id for r in
+           ann.query_ivf_index(spark, path, q, k=10, nprobe=16).collect()]
+    brute = [r.vec_id for r in
+             ann.brute_force_topk(emb.where(F.col("vec_id") != 0), q, k=10)
+             .collect()]
+    assert got == brute
+
+    # crash replay: appending the same batch again changes nothing
+    ann.append_ivf_index(late, path, centroids=cents)
+    again = [r.vec_id for r in
+             ann.query_ivf_index(spark, path, q, k=10, nprobe=16).collect()]
+    assert again == got
