@@ -16,8 +16,11 @@ efficiency can be judged against what the box permits.
 Measured workload: the Arrow-batched pairwise scoring stage — the BASELINE
 headline metric (candidate-pairs scored/sec) — over a pre-materialized
 (files, pairs) input built ONCE and shared by both runs, so both children
-score the exact same ~2M pairs.  Full-pipeline wall time is reported as a
-secondary series.
+score the exact same ~9.75M pairs (16k entities / 44k files; the default is
+pinned to this size because a small input under-measures scaling: at ~1M
+pairs the 8-core run finishes in ~9s, where the ~2.5s fixed per-job
+scheduler + Python-worker warmup drags measured efficiency from ~0.86 to
+~0.73 — an artifact of job brevity, not of the scoring stage).
 
 Usage:  python bench_scaling.py            # orchestrates everything
         python bench_scaling.py --child N  # (internal) one measured run
@@ -31,7 +34,7 @@ import subprocess
 import sys
 import time
 
-N_ENTITIES = int(os.environ.get("HER_SCALE_ENTITIES", "4000"))
+N_ENTITIES = int(os.environ.get("HER_SCALE_ENTITIES", "16000"))
 N_ROUNDS = int(os.environ.get("HER_SCALE_ROUNDS", "3"))
 SEED = 42
 WORKDIR = os.environ.get("HER_SCALE_DIR", "/tmp/her_scaling_input")
