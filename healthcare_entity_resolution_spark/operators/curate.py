@@ -42,6 +42,8 @@ def curate_corpus(
     lineage: LineageLog = NULL_LINEAGE,
     languages: list[str] | None = None,
     min_quality: float = 0.5,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
     max_pii: int | None = 10,
     near_dup_threshold: float = 0.85,
     bench_index: DataFrame | None = None,
@@ -105,7 +107,26 @@ def curate_corpus(
     if languages:
         gated = gated.where(F.col("lang_pred").isin(languages))
     gated = gated.where(F.col("quality_score") >= F.lit(min_quality))
-    cur = log("quality_gate", gated.drop("quality_score", "lang_pred"))
+    rep_cols: list[str] = []
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        # Gopher-style repetition gates (textstats.repetition_features:
+        # explode+agg, O(lines+bigrams) shuffle) join into the same pass
+        rep = TS.repetition_features(cur, id_col, text_col).select(
+            id_col, "dup_line_frac", "top_bigram_frac"
+        )
+        gated = gated.join(rep, id_col)
+        rep_cols = ["dup_line_frac", "top_bigram_frac"]
+        if max_dup_line_frac is not None:
+            gated = gated.where(
+                F.col("dup_line_frac") <= F.lit(max_dup_line_frac)
+            )
+        if max_top_bigram_frac is not None:
+            gated = gated.where(
+                F.col("top_bigram_frac") <= F.lit(max_top_bigram_frac)
+            )
+    cur = log(
+        "quality_gate", gated.drop("quality_score", "lang_pred", *rep_cols)
+    )
 
     # 4. PII: redact in place, drop the pathological tail.  credit_cards=True
     # adds the Luhn-checked pass — opt-in because it's the one redaction

@@ -130,3 +130,79 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFr
         F.col(id_col),
         F.array_min(grams).alias("fingerprint"),
     )
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, appendix
+    A1.1 — the standard 'remove documents that repeat themselves' gates):
+
+    - ``dup_line_frac``       fraction of (trimmed, non-empty) lines that
+                              are repeats of an earlier line
+    - ``dup_line_char_frac``  fraction of line characters inside those
+                              repeated occurrences
+    - ``top_bigram_frac``     fraction of word bigrams taken by the single
+                              most common bigram
+
+    100 TB shape: explode + two-level aggregate — shuffle volume is
+    O(lines + bigrams) with map-side combine, never a quadratic in-row
+    scan, so a 10k-line document costs the same per line as a 10-line one.
+    Documents with no qualifying lines (or < 2 words) get 0.0 fractions —
+    'no repetition evidence', not NULL.  Everything is built-ins
+    (split/explode/groupBy), SQL-replayable in DuckDB (tests)."""
+    t = F.trim(F.lower(F.col(text_col)))
+
+    lines = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.split(t, r"\n")).alias("raw"))
+        .select("id", F.trim(F.col("raw")).alias("line"))
+        .where(F.col("line") != "")
+    )
+    per_line = lines.groupBy("id", "line").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        (F.sum("c") - F.count("*")).alias("n_dup_lines"),
+        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+        F.sum((F.col("c") - 1) * F.length("line")).alias("dup_line_chars"),
+    )
+
+    words = F.split(t, r"\s+")
+    # 0-based SQL-expr indexing; expr string avoids the HOF closure-arity
+    # trap (the 2nd lambda param binds the element index)
+    bigrams = df.select(
+        F.col(id_col).alias("id"), words.alias("w")
+    ).select(
+        "id",
+        F.explode(
+            # guard: sequence(1, 0) DESCENDS in Spark, so a 1-word doc would
+            # emit two out-of-bounds (NULL) bigrams without the CASE
+            F.expr("CASE WHEN size(w) >= 2 THEN "
+                   "transform(sequence(1, size(w) - 1), "
+                   "i -> concat(w[i-1], ' ', w[i])) "
+                   "ELSE array() END")
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy("id", "bg").agg(F.count("*").alias("c"))
+    bg_stats = per_bg.groupBy("id").agg(
+        F.max("c").alias("top_bg"), F.sum("c").alias("n_bg")
+    )
+
+    base = df.select(F.col(id_col).alias("id"))
+    out = (
+        base.join(line_stats, "id", "left").join(bg_stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(
+                F.coalesce(F.col("n_dup_lines") / F.col("n_lines"), F.lit(0.0)), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("dup_line_chars") / F.col("line_chars"), F.lit(0.0)
+                ), 6
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return out

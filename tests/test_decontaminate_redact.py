@@ -212,3 +212,23 @@ def test_redact_credit_cards_composes_with_pii(spark):
     r = out.collect()[0]
     assert r["text"] == "mail [email] card [credit_card]"
     assert r["pii_email"] == 1 and r["pii_credit_card"] == 1
+
+
+def test_curate_repetition_gate(spark):
+    """Optional Gopher repetition gates drop degenerate repeat documents in
+    the quality stage while clean docs pass."""
+    from healthcare_entity_resolution_spark.operators import curate as C
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and then rests " * 3),
+        (1, ("spam spam spam spam spam spam spam spam spam spam "
+             "spam spam spam spam spam spam spam spam spam spam")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = C.curate_corpus(
+        df, min_quality=0.0, near_dup_threshold=0.99,
+        max_top_bigram_frac=0.8, max_pii=None,
+    )
+    ids = [r["doc_id"] for r in res["curated"].select("doc_id").collect()]
+    assert ids == [0]  # the spam doc's top bigram is ~100% of bigrams
+    assert res["counts"]["quality_gate"] == 1

@@ -86,3 +86,75 @@ def test_rolling_fingerprint_stable():
     assert tf.rolling_fingerprint("some document text " * 10) == tf.rolling_fingerprint(
         "some document text " * 10
     )
+
+
+def test_repetition_features_known_fixture(spark):
+    """Gopher repetition gates on hand-computable documents."""
+    from healthcare_entity_resolution_spark.operators import textstats as TS
+
+    rows = [
+        # 4 lines, 'aaa' repeated 3x: dup_line_frac = 2/4; line chars:
+        # total = 3*3 + 2 = 11, dup chars = 2*3 = 6
+        (0, "aaa\naaa\naaa\nbb"),
+        # bigrams of "x y x y x": (x y)x2 (y x)x2 -> top 2/4
+        (1, "x y x y x"),
+        (2, "unique lines only\nno repeats here"),
+        (3, "single"),          # 1 word: no bigrams -> 0.0
+        (4, ""),                # empty -> all 0.0, n_lines 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           TS.repetition_features(df, "doc_id", "text").collect()}
+    assert got[0]["dup_line_frac"] == 0.5
+    assert got[0]["dup_line_char_frac"] == round(6 / 11, 6)
+    assert got[1]["top_bigram_frac"] == 0.5
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["n_lines"] == 1 and got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["n_lines"] == 0 and got[4]["dup_line_frac"] == 0.0
+
+
+def test_repetition_features_duckdb_parity(spark, sf_small):
+    """Value parity vs an exact DuckDB replay over the real documents table
+    (same rigor as the driver oracle, run through the local harness)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare, duck_con
+
+    from healthcare_entity_resolution_spark.operators import textstats as TS
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = TS.repetition_features(docs, "doc_id", "text")
+    sql = """
+    WITH t AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+    lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM t, unnest(string_split(t, chr(10))) AS u(l)
+      WHERE trim(l) <> ''
+    ),
+    per_line AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+    line_stats AS (
+      SELECT doc_id, sum(c) AS n_lines, sum(c) - count(*) AS n_dup,
+             sum(c * length(line)) AS chars, sum((c-1) * length(line)) AS dup_chars
+      FROM per_line GROUP BY 1
+    ),
+    w AS (SELECT doc_id, string_split_regex(t, '\\s+') AS w FROM t),
+    bigrams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+      FROM w, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    per_bg AS (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2),
+    bg_stats AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM per_bg GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+           round(coalesce(l.n_dup::DOUBLE / l.n_lines, 0), 6) AS dup_line_frac,
+           round(coalesce(l.dup_chars::DOUBLE / l.chars, 0), 6) AS dup_line_char_frac,
+           round(coalesce(b.top_bg::DOUBLE / b.n_bg, 0), 6) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN line_stats l USING (doc_id)
+    LEFT JOIN bg_stats b USING (doc_id)
+    """
+    con = duck_con(sf_small)
+    ok, msg = compare(out, con, sql, "repetition_features")
+    assert ok, msg
