@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, ResolutionConfig
 from ..plans.lineage import NULL_LINEAGE, LineageLog
+from . import corpus_ops as CO
 from . import decontaminate as DC
 from . import dedup as D
 from . import redact as R
@@ -46,6 +47,7 @@ def curate_corpus(
     max_top_bigram_frac: float | None = None,
     max_pii: int | None = 10,
     near_dup_threshold: float = 0.85,
+    boilerplate_min_docs: int | None = None,
     bench_index: DataFrame | None = None,
     contamination_threshold: float = 0.1,
     contamination_k: int = 8,
@@ -81,6 +83,19 @@ def curate_corpus(
 
     # 1. exact dedup
     cur = log("exact_dedup", D.distinct_by_content(docs, id_col, text_col))
+
+    # 1b. optional cross-doc boilerplate-line removal (CCNet/RefinedWeb):
+    # runs BEFORE near dedup because shared chrome inflates shingle
+    # similarity between unrelated pages — a linear rebuild that makes the
+    # quadratic-ish stage more honest.  Opt-in: it rewrites text.
+    if boilerplate_min_docs is not None:
+        cur = log(
+            "boilerplate",
+            CO.remove_boilerplate_lines(
+                cur, id_col, text_col,
+                min_docs=boilerplate_min_docs, lineage=lineage,
+            ).drop("boilerplate_lines_removed"),
+        )
 
     # 2. near dedup: drop every non-representative (non-min-id) member of
     # each transitive near-dup group

@@ -73,12 +73,26 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]]),
         )
     ).cast("double")
-    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    mean_wlen = (F.length(F.regexp_replace(t, r"\s+", "")).cast("double")) / n_tok
+    # zero-token / zero-char docs (empty or whitespace-only text) must
+    # score 0.0, not abort the job: ANSI mode (Spark 4 default) turns a
+    # bare x/0 into a runtime DIVIDE_BY_ZERO that kills the whole stage —
+    # one empty document in 100 TB would fail the run.  NULL text still
+    # propagates NULL (size(NULL) is NULL, so the whens fall through).
+    distinct_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(n_tok * F.lit(0.0))
+    mean_wlen = F.when(
+        n_tok > 0, F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n_tok
+    ).otherwise(n_tok * F.lit(0.0))
 
     len_ok = (n_tok >= 5) & (n_tok <= 100000)
     wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
-    alpha_ratio = alpha / n_chars
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(
+        n_chars * F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(
+        n_chars * F.lit(0.0)
+    )
     score = (
         F.when(len_ok, 0.25).otherwise(0.0)
         + F.when(wlen_ok, 0.25).otherwise(0.0)
@@ -90,7 +104,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_tok.cast("int").alias("n_tokens"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_en / 10.0, 6).alias("stopword_ratio"),
         F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
         F.round(score, 6).alias("quality_score"),

@@ -1,0 +1,231 @@
+"""Cross-document corpus ops: boilerplate-line removal + stratified
+token-budget sampling, each replayed value-for-value in DuckDB SQL."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_entity_resolution_spark.operators import corpus_ops as CO
+
+FOOTER = "(c) 2026 Example Corp. All rights reserved."
+COOKIE = "This site uses cookies."
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # footer appears in 5 docs (d1..d5) -> boilerplate at min_docs=3;
+        # cookie banner in 3 docs, with case/whitespace variants that must
+        # normalize together; "unique line" repeated WITHIN one doc only
+        # must never count as cross-doc boilerplate
+        ("d1", f"alpha content one\n{FOOTER}\n\nmore alpha"),
+        ("d2", f"beta content two\n  {FOOTER}  \n{COOKIE}"),
+        ("d3", f"{COOKIE.upper()}\ngamma content three\n{FOOTER}"),
+        ("d4", f"delta content four\n{FOOTER}"),
+        ("d5", f"{FOOTER}\nepsilon content five\n{COOKIE.lower()}"),
+        ("d6", "unique line\nunique line\nunique line"),
+        ("d7", f"{FOOTER}"),          # all-boilerplate -> becomes ""
+        ("d8", None),                  # NULL text passes through
+        ("d9", ""),                    # empty text: 1 blank line, kept
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _duck(docs_pdf: pd.DataFrame) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.register("docs", docs_pdf)
+    return con
+
+
+def test_remove_boilerplate_lines_matches_duckdb(spark, docs):
+    got = (
+        CO.remove_boilerplate_lines(docs, "doc_id", "text", min_docs=3)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = _duck(docs.toPandas())
+    want = con.execute("""
+        WITH normed AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                 unnest(string_split(text, chr(10))) AS line,
+                 trim(lower(unnest(string_split(text, chr(10))))) AS norm
+          FROM docs WHERE text IS NOT NULL
+        ), boiler AS (
+          SELECT norm
+          FROM (SELECT DISTINCT doc_id, norm FROM normed WHERE norm <> '')
+          GROUP BY norm HAVING count(*) >= 3
+        ), kept AS (
+          SELECT n.doc_id, n.pos, n.line
+          FROM normed n LEFT JOIN boiler b USING (norm)
+          WHERE b.norm IS NULL OR n.norm = ''
+        ), rebuilt AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS new_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ), counts AS (
+          SELECT doc_id, count(*) AS n_lines FROM normed GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(r.new_text, '') END AS text,
+               CAST(coalesce(c.n_lines, 0) - coalesce(r.n_kept, 0) AS INT)
+                   AS boilerplate_lines_removed
+        FROM docs d
+        LEFT JOIN rebuilt r USING (doc_id)
+        LEFT JOIN counts c USING (doc_id)
+        ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_remove_boilerplate_semantics(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in CO.remove_boilerplate_lines(
+            docs, "doc_id", "text", min_docs=3
+        ).collect()
+    }
+    # footer + cookie variants stripped, blank line and content kept
+    assert out["d1"]["text"] == "alpha content one\n\nmore alpha"
+    assert out["d1"]["boilerplate_lines_removed"] == 1
+    assert out["d2"]["text"] == "beta content two"
+    assert out["d2"]["boilerplate_lines_removed"] == 2
+    assert out["d3"]["text"] == "gamma content three"
+    # within-doc repetition is NOT cross-doc boilerplate
+    assert out["d6"]["text"] == "unique line\nunique line\nunique line"
+    assert out["d6"]["boilerplate_lines_removed"] == 0
+    # all-boilerplate doc -> empty string (quality gate's job to drop)
+    assert out["d7"]["text"] == ""
+    assert out["d7"]["boilerplate_lines_removed"] == 1
+    # NULL and empty pass through
+    assert out["d8"]["text"] is None
+    assert out["d8"]["boilerplate_lines_removed"] == 0
+    assert out["d9"]["text"] == ""
+    assert out["d9"]["boilerplate_lines_removed"] == 0
+
+
+def test_remove_boilerplate_no_python_stage(spark, docs):
+    plan = (
+        CO.remove_boilerplate_lines(docs, "doc_id", "text", min_docs=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 3 strata with very different token mass + a NULL-language stratum;
+    # token counts are deterministic functions of the index
+    rows = []
+    for i in range(300):
+        rows.append((f"en{i:04d}", "en", 100 + (i % 7)))
+    for i in range(40):
+        rows.append((f"fr{i:04d}", "fr", 50 + (i % 3)))
+    for i in range(25):
+        rows.append((f"xx{i:04d}", None, 10))
+    return spark.createDataFrame(rows, "doc_id string, lang string, n_tokens int")
+
+
+def test_stratified_sample_matches_duckdb(spark, corpus):
+    cap = 5000
+    res = CO.stratified_token_sample(
+        corpus, "doc_id", ["lang"], "n_tokens", max_tokens_per_stratum=cap
+    )
+    got = res["sampled"].select("doc_id").orderBy("doc_id").toPandas()
+    con = _duck(corpus.toPandas())
+    want = con.execute(f"""
+        WITH rates AS (
+          SELECT lang, sum(n_tokens) AS stratum_tokens,
+                 least(1.0, {cap}::DOUBLE / sum(n_tokens)) AS sample_rate
+          FROM docs GROUP BY lang
+        )
+        SELECT d.doc_id
+        FROM docs d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
+        WHERE CAST(concat('0x', substr(sha256(d.doc_id), 1, 15)) AS BIGINT)
+              < r.sample_rate * power(16::DOUBLE, 15)
+        ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stratified_sample_rates_and_budget(spark, corpus):
+    cap = 5000
+    res = CO.stratified_token_sample(
+        corpus, "doc_id", ["lang"], "n_tokens", max_tokens_per_stratum=cap
+    )
+    rates = {r["lang"]: r for r in res["rates"].collect()}
+    # exact rate math: min(1, cap/total)
+    en_total = sum(100 + (i % 7) for i in range(300))
+    fr_total = sum(50 + (i % 3) for i in range(40))
+    assert rates["en"]["stratum_tokens"] == en_total
+    assert abs(rates["en"]["sample_rate"] - cap / en_total) < 1e-12
+    assert rates["fr"]["sample_rate"] == 1.0  # under cap -> kept whole
+    assert rates[None]["sample_rate"] == 1.0  # NULL stratum budgeted too
+
+    kept = res["sampled"].groupBy("lang").agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("n")
+    )
+    by_lang = {r["lang"]: r for r in kept.collect()}
+    # under-cap strata are complete (NULL lang included: eqNullSafe join)
+    assert by_lang["fr"]["n"] == 40
+    assert by_lang[None]["n"] == 25
+    # the capped stratum lands near the budget (binomial: 4 sigma of the
+    # ~103-token doc mass around cap = 5000)
+    en_kept = by_lang["en"]["t"]
+    p = cap / en_total
+    sigma = (300 * p * (1 - p)) ** 0.5 * 103
+    assert abs(en_kept - cap) < 4 * sigma
+
+    # determinism: a second run keeps the identical id set
+    again = CO.stratified_token_sample(
+        corpus, "doc_id", ["lang"], "n_tokens", max_tokens_per_stratum=cap
+    )
+    a = sorted(r["doc_id"] for r in res["sampled"].select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in again["sampled"].select("doc_id").collect())
+    assert a == b
+
+
+def test_curate_boilerplate_stage(spark):
+    """curate_corpus(boilerplate_min_docs=...) strips shared chrome before
+    near-dedup and accounts the stage; docs whose content was ONLY chrome
+    fall to the quality gate, not to the dedup stages."""
+    from healthcare_entity_resolution_spark.operators.curate import curate_corpus
+
+    body = ("this is a long and perfectly reasonable english document with "
+            "the usual words that clear every single quality gate easily "
+            "and it keeps going for a while longer")
+    rows = [
+        ("c1", f"{body}\n{FOOTER}"),
+        ("c2", f"an entirely different english story about the weather and "
+               f"the wide open sea where the wind is strong and the boats "
+               f"come home at night\n{COOKIE}\n{FOOTER}"),
+        ("c3", f"{COOKIE}\na third unrelated english piece about mountains "
+               f"and rivers and the long quiet roads between small towns "
+               f"that keeps enough words to pass the gates\n{FOOTER}"),
+        ("c4", f"{FOOTER}\n{COOKIE}"),  # chrome-only -> "" after 1b
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = curate_corpus(
+        docs, "doc_id", "text", languages=["en"], min_quality=0.5,
+        near_dup_threshold=0.7, boilerplate_min_docs=3,
+    )
+    c = out["counts"]
+    assert c["exact_dedup"] == 4
+    assert c["boilerplate"] == 4          # rewrite, not a filter
+    assert c["quality_gate"] == 3         # c4 is empty after the rewrite
+    kept = {r["doc_id"]: r["text"] for r in out["curated"].collect()}
+    assert set(kept) == {"c1", "c2", "c3"}
+    assert FOOTER not in kept["c1"] and COOKIE not in kept["c3"]
+
+
+def test_stratified_sample_plan_broadcasts_rates(spark, corpus):
+    res = CO.stratified_token_sample(
+        corpus, "doc_id", ["lang"], "n_tokens", max_tokens_per_stratum=5000
+    )
+    plan = res["sampled"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
