@@ -100,6 +100,39 @@ def main() -> None:
     extra["curate_stages"] = res["timings"]
     extra["curate_counts"] = res["counts"]
 
+    # round-5 additions: the incremental crawl-dedup index (build on 2/3 of
+    # the corpus, probe the remaining 1/3 against it — the batch-vs-corpus
+    # op the in-corpus MinHash path can't express) and SemDeDup-style
+    # embedding-space dedup
+    import shutil
+    import tempfile
+
+    from healthcare_entity_resolution_spark.operators import (  # noqa: E402
+        dedup_index as DIX,
+        semdedup as SD,
+    )
+
+    docs_s = docs.selectExpr("cast(doc_id as string) doc_id", "text")
+    idx_dir = tempfile.mkdtemp(prefix="bench_dedup_idx_")
+    try:
+        t = time.perf_counter()
+        DIX.build_dedup_index(docs_s.where("doc_id % 3 != 0"), idx_dir)
+        timings["dedup_index_build"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        n_probe_matches = DIX.query_dedup_index(
+            docs_s.where("doc_id % 3 = 0"), idx_dir
+        ).count()
+        timings["dedup_index_probe"] = round(time.perf_counter() - t, 3)
+        extra["dedup_index_probe_matches"] = n_probe_matches
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = time.perf_counter()
+    sd = SD.semantic_dedup(emb, threshold=0.95)
+    extra["semantic_dedup_kept"] = sd.where("keep").count()
+    timings["semantic_dedup"] = round(time.perf_counter() - t, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "er_pipeline+operator_suite_total",

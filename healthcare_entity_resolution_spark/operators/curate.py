@@ -9,6 +9,8 @@ Stage order matters and mirrors what each stage costs at 100 TB:
    O(distinct) hash-groupBy before anything fuzzy or quadratic runs;
 2. **near dedup** (MinHash/LSH, salted id-only candidates) on the
    survivors — keeps one representative (min id) per transitive group;
+   optionally followed by **SemDeDup semantic dedup** when an embedding
+   table is supplied (per-cluster gram pass, see operators/semdedup.py);
 3. **language / quality gates** — pure-codegen column predicates over
    textstats features, cheapest possible filters once volume is down;
 4. **PII redaction** — pure-codegen rewrite; documents above the PII cap
@@ -47,6 +49,10 @@ def curate_corpus(
     max_top_bigram_frac: float | None = None,
     max_pii: int | None = 10,
     near_dup_threshold: float = 0.85,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    semantic_threshold: float = 0.95,
     boilerplate_min_docs: int | None = None,
     bench_index: DataFrame | None = None,
     contamination_threshold: float = 0.1,
@@ -112,6 +118,38 @@ def curate_corpus(
             drop, cur[id_col].cast("string") == drop["__drop_id"], "left_anti"
         ),
     )
+
+    # 2b. optional SemDeDup semantic dedup (paraphrase-level duplicates the
+    # byte-shingle stage can't see).  Runs AFTER near dedup: the survivor
+    # semi-join shrinks the embedding set before the per-cluster quadratic
+    # pass.  Docs with no embedding row are kept (never silently dropped).
+    if embeddings is not None:
+        from . import semdedup as SD
+
+        surv_emb = embeddings.select(
+            F.col(emb_id_col).cast("string").alias("id"),
+            F.col(emb_vec_col).alias("v_emb"),
+        ).join(
+            cur.select(F.col(id_col).cast("string").alias("id")),
+            "id",
+            "left_semi",
+        )
+        sem_drop = (
+            SD.semantic_dedup(
+                surv_emb, threshold=semantic_threshold,
+                id_col="id", vec_col="v_emb", lineage=lineage,
+            )
+            .where(~F.col("keep"))
+            .select(F.col("id").alias("__sem_drop"))
+        )
+        cur = log(
+            "semantic_dedup",
+            cur.join(
+                sem_drop,
+                cur[id_col].cast("string") == sem_drop["__sem_drop"],
+                "left_anti",
+            ),
+        )
 
     # 3. language + quality gates (one joined pass, pure codegen features)
     feats = TS.quality_features(cur, id_col, text_col).select(

@@ -1,0 +1,238 @@
+"""Persisted incremental MinHash-LSH document index (operators/dedup_index.py):
+batch-vs-corpus parity with the in-corpus path, O(batch) append + replay
+idempotence, hot-band cap accounting, partition-pruned probe reads, and the
+full streaming crawl-dedup loop."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_entity_resolution_spark.config import ResolutionConfig
+from healthcare_entity_resolution_spark.operators import dedup as D
+from healthcare_entity_resolution_spark.operators import dedup_index as DI
+from healthcare_entity_resolution_spark.plans.lineage import LineageLog
+
+CFG = ResolutionConfig()
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "into the deep green forest while the sun is setting slowly"
+)
+SPANISH = (
+    "el perro grande corre por la calle y el gato duerme en la casa "
+    "de la abuela mientras llueve fuera"
+)
+
+
+def _corpus(spark):
+    rows = [
+        ("a1", BASE),
+        ("a2", SPANISH),
+        ("a3", "completely different text about compilers and register allocation"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _batch(spark):
+    rows = [
+        ("b1", BASE),                                  # exact dup of a1
+        ("b2", BASE.replace("quick", "fast")),         # near dup of a1
+        ("b3", "novel document about distributed query optimizers"),
+        ("b4", SPANISH.replace("perro", "zorro")),     # near dup of a2
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_query_parity_with_in_corpus_path(spark, tmp_path):
+    """Index-probe matches must equal the cross-(corpus, batch) subset of
+    minhash_near_duplicates over the union — same bands, same two-tier
+    verify, so the sets are identical by construction."""
+    path = str(tmp_path / "idx")
+    corpus, batch = _corpus(spark), _batch(spark)
+    DI.build_dedup_index(corpus, path, cfg=CFG)
+    got = {
+        (r.query_id, r.index_id, round(r.jaccard, 9))
+        for r in DI.query_dedup_index(
+            batch, path, cfg=CFG, jaccard_threshold=0.5
+        ).collect()
+    }
+
+    union_pairs = D.minhash_near_duplicates(
+        corpus.unionByName(batch), "doc_id", "text", CFG, jaccard_threshold=0.5
+    )
+    a_ids = {"a1", "a2", "a3"}
+    want = set()
+    for r in union_pairs.collect():
+        in_a = {r.id_1, r.id_2} & a_ids
+        if len(in_a) == 1:  # cross pair: one side corpus, one side batch
+            q = r.id_2 if r.id_1 in a_ids else r.id_1
+            i = r.id_1 if r.id_1 in a_ids else r.id_2
+            want.add((q, i, round(r.jaccard, 9)))
+    assert got == want and {("b1", "a1"), ("b2", "a1"), ("b4", "a2")} <= {
+        (q, i) for q, i, _ in got
+    }
+
+
+def test_probe_read_is_partition_pruned(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    DI.build_dedup_index(_corpus(spark), path, cfg=CFG)
+    out = DI.query_dedup_index(
+        _batch(spark), path, cfg=CFG, jaccard_threshold=0.5, checkpoint=False
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "shard#" in plan, plan[-2000:]
+
+
+def test_append_is_o_batch_and_replay_safe(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    corpus, batch = _corpus(spark), _batch(spark)
+    DI.build_dedup_index(corpus, path, cfg=CFG)
+
+    novel = batch.where(F.col("doc_id") == "b3")
+    DI.append_dedup_index(novel, path, cfg=CFG)
+    probe = spark.createDataFrame(
+        [("c1", "novel document about distributed query optimizers tail")],
+        "doc_id string, text string",
+    )
+    first = {
+        (r.query_id, r.index_id)
+        for r in DI.query_dedup_index(
+            probe, path, cfg=CFG, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert ("c1", "b3") in first
+
+    # crash-replayed append: same rows twice -> query results unchanged
+    DI.append_dedup_index(novel, path, cfg=CFG)
+    again = {
+        (r.query_id, r.index_id)
+        for r in DI.query_dedup_index(
+            probe, path, cfg=CFG, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert again == first
+
+
+def test_meta_mismatch_refused(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    DI.build_dedup_index(_corpus(spark), path, cfg=CFG)
+    with pytest.raises(ValueError, match="does not match the index meta"):
+        DI.query_dedup_index(
+            _batch(spark), path,
+            cfg=ResolutionConfig(minhash_permutations=32, lsh_bands=8),
+        )
+
+
+def test_hot_band_cap_is_lineage_logged(spark, tmp_path):
+    """A boilerplate band shared by more index docs than max_band_fanout is
+    dropped whole, with exact counts in lineage — never silently."""
+    path = str(tmp_path / "idx")
+    boiler = spark.createDataFrame(
+        [(f"a{i}", BASE) for i in range(8)], "doc_id string, text string"
+    )
+    DI.build_dedup_index(boiler, path, cfg=CFG)
+    probe = spark.createDataFrame([("q1", BASE)], "doc_id string, text string")
+    lin = LineageLog()
+    out = DI.query_dedup_index(
+        probe, path, cfg=CFG, jaccard_threshold=0.5,
+        max_band_fanout=4, lineage=lin,
+    )
+    assert out.count() == 0
+    ev = [e for e in lin.events if e["stage"] == "dedup_index.hot_bands"]
+    assert len(ev) == 1 and ev[0]["bands_dropped"] == CFG.lsh_bands
+    assert ev[0]["index_rows_in_dropped_bands"] == 8 * CFG.lsh_bands
+
+    # without the cap the same probe matches all 8
+    full = DI.query_dedup_index(probe, path, cfg=CFG, jaccard_threshold=0.5)
+    assert full.count() == 8
+
+
+def test_incremental_step_end_to_end(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    DI.build_dedup_index(_corpus(spark), path, cfg=CFG)
+    lin = LineageLog()
+    res = DI.incremental_dedup_step(
+        _batch(spark), path, cfg=CFG, jaccard_threshold=0.5, lineage=lin
+    )
+    kept = sorted(r.doc_id for r in res["kept"].collect())
+    # b1/b2 dup a1, b4 dups a2; b3 is novel and unique within the batch
+    assert kept == ["b3"]
+    assert {(r.query_id, r.index_id) for r in res["index_matches"].collect()} == {
+        ("b1", "a1"), ("b2", "a1"), ("b4", "a2")
+    }
+    steps = [e for e in lin.events if e["stage"] == "dedup_index.step"]
+    assert steps and steps[0]["kept"] == 1 and steps[0]["dropped_vs_index"] == 3
+
+    # the survivor was appended: a later twin of b3 is now dropped
+    res2 = DI.incremental_dedup_step(
+        spark.createDataFrame(
+            [
+                ("c1", "novel document about distributed query optimizers"),
+                ("c2", "yet another unrelated text on garbage collection"),
+            ],
+            "doc_id string, text string",
+        ),
+        path, cfg=CFG, jaccard_threshold=0.5,
+    )
+    assert sorted(r.doc_id for r in res2["kept"].collect()) == ["c2"]
+
+
+def test_intra_batch_transitive_min_id_keep(spark, tmp_path):
+    """Three mutual near-dups inside one batch collapse to the min id even
+    when the index matches none of them."""
+    path = str(tmp_path / "idx")
+    DI.build_dedup_index(_corpus(spark), path, cfg=CFG)
+    batch = spark.createDataFrame(
+        [
+            ("x1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ("x2", "alpha beta gamma delta epsilon zeta eta theta iota kappb"),
+            ("x3", "alpha beta gamma delta epsilon zeta eta theta iotb kappa"),
+        ],
+        "doc_id string, text string",
+    )
+    res = DI.incremental_dedup_step(
+        batch, path, cfg=CFG, jaccard_threshold=0.5, append=False
+    )
+    assert sorted(r.doc_id for r in res["kept"].collect()) == ["x1"]
+    assert res["index_matches"].count() == 0
+
+
+def test_streaming_crawl_dedup_loop(spark, tmp_path):
+    """readStream -> incremental_dedup_step -> kept parquet: two micro-batch
+    files processed in order; batch-2 twins of batch-1 survivors are dropped
+    through the index append."""
+    path = str(tmp_path / "idx")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    DI.build_dedup_index(_corpus(spark), path, cfg=CFG)
+
+    spark.createDataFrame(
+        [("s1", "streaming batch one text about watermark semantics"),
+         ("s2", BASE)],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = DI.dedup_index_stream(
+        spark, in_dir, path, out_dir, cfg=CFG, jaccard_threshold=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(
+        [("t1", "streaming batch one text about watermark semantics"),
+         ("t2", "fresh content in the second micro batch entirely new")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = DI.dedup_index_stream(
+        spark, in_dir, path, out_dir, cfg=CFG, jaccard_threshold=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    # s2 dups the corpus; t1 dups s1 (via the index append); s1 + t2 survive
+    assert kept == ["s1", "t2"]

@@ -1,0 +1,148 @@
+"""Semantic dedup (operators/semdedup.py): brute-force greedy parity in a
+single cluster, determinism, keep policies, zero-vector safety, and the
+oversized-cluster subdivision with lineage accounting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_entity_resolution_spark.operators import semdedup as SD
+from healthcare_entity_resolution_spark.plans.lineage import LineageLog
+
+
+def _emb_df(spark, vecs, ids=None):
+    ids = ids or [f"v{i}" for i in range(len(vecs))]
+    rows = [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    return spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+
+def _greedy_ref(ids, vecs, threshold):
+    """Scalar reference: ascending-id greedy keep over exact cosines."""
+    m = np.asarray(vecs, dtype=np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    mn = m / n
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    kept, out = [], {}
+    for i in order:
+        hit = next(
+            (j for j in kept if float(mn[i] @ mn[j]) > threshold), None
+        )
+        if hit is None:
+            kept.append(i)
+            out[ids[i]] = (True, None)
+        else:
+            out[ids[i]] = (False, ids[hit])
+    return out
+
+
+def test_single_cluster_matches_bruteforce(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8)
+    vecs = list(base) + [base[0] * 1.7, base[2] + 0.001 * rng.randn(8), base[5] * 0.4]
+    ids = [f"v{i:02d}" for i in range(len(vecs))]
+    df = _emb_df(spark, vecs, ids)
+    got = {
+        r.id: (r.keep, r.dup_of)
+        for r in SD.semantic_dedup(df, threshold=0.95, n_lists=1).collect()
+    }
+    assert got == _greedy_ref(ids, vecs, 0.95)
+    # scaled copies are exact semantic dups: v06 (=1.7*v00) must fall to v00
+    assert got["v06"] == (False, "v00") and got["v08"] == (False, "v05")
+
+
+def test_deterministic_across_runs(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 6)
+    vecs[17] = vecs[3] * 2.0
+    vecs[29] = vecs[8] + 1e-4
+    df = _emb_df(spark, vecs)
+    a = sorted(map(tuple, SD.semantic_dedup(df, 0.98, n_lists=4).collect()))
+    b = sorted(map(tuple, SD.semantic_dedup(df, 0.98, n_lists=4).collect()))
+    assert a == b and any(not r[2] for r in a)
+
+
+def test_far_from_centroid_policy(spark):
+    """Two mutual dups with clearly distinct centroid similarity: SemDeDup's
+    rule must keep the one FARTHER from the centroid, while min_id keeps the
+    alphabetically-first one — the policies must observably differ."""
+    hub = [np.array([1.0, 0.02 * i, 0.0]) for i in range(8)]
+    far = np.array([0.1, 0.1, 3.0])          # least centroid-similar
+    close = far + np.array([0.3, 0.0, 0.0])  # cos(far, close) ~ 0.995
+    vecs = hub + [far, close]
+    ids = [f"h{i}" for i in range(8)] + ["zfar", "acls"]  # min id = acls
+    df = _emb_df(spark, vecs, ids)
+
+    fc = {
+        r.id: (r.keep, r.dup_of)
+        for r in SD.semantic_dedup(
+            df, threshold=0.99, n_lists=1, policy="far_from_centroid"
+        ).collect()
+    }
+    assert fc["zfar"][0] is True and fc["acls"] == (False, "zfar")
+
+    mi = {
+        r.id: (r.keep, r.dup_of)
+        for r in SD.semantic_dedup(
+            df, threshold=0.99, n_lists=1, policy="min_id"
+        ).collect()
+    }
+    assert mi["acls"][0] is True and mi["zfar"] == (False, "acls")
+
+    with pytest.raises(ValueError, match="unknown keep policy"):
+        SD.semantic_dedup(df, policy="median")
+
+
+def test_zero_vectors_always_kept(spark):
+    vecs = [[0.0, 0.0], [0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]
+    df = _emb_df(spark, vecs, ["a", "b", "c", "d"])
+    got = {r.id: r.keep for r in SD.semantic_dedup(df, 0.9, n_lists=1).collect()}
+    assert got == {"a": True, "b": True, "c": True, "d": False}
+
+
+def test_oversized_cluster_subdivided_with_lineage(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(64, 4) + np.array([10.0, 0, 0, 0])  # one tight cluster
+    df = _emb_df(spark, vecs)
+    lin = LineageLog()
+    out = SD.semantic_dedup(
+        df, threshold=0.999, n_lists=1, max_cluster_rows=16, lineage=lin
+    )
+    assert out.count() == 64
+    ev = [e for e in lin.events if e["stage"] == "semdedup.oversized"]
+    assert len(ev) == 1 and ev[0]["clusters_subdivided"] == 1
+    assert ev[0]["rows_in_subdivided"] == 64
+
+    # every row still classified exactly once despite the subdivision
+    assert out.select("id").distinct().count() == 64
+
+
+def test_curate_semantic_stage(spark, sf_small):
+    """curate_corpus with an embeddings table runs the semantic_dedup stage
+    between near-dedup and the quality gates, and its survivor count is
+    monotone non-increasing and lineage-logged."""
+    from healthcare_entity_resolution_spark.operators import curate as C
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    lin = LineageLog()
+    res = C.curate_corpus(
+        docs, embeddings=emb, semantic_threshold=0.98,
+        min_quality=0.0, lineage=lin,
+    )
+    c = res["counts"]
+    stages = list(c)
+    assert stages.index("semantic_dedup") == stages.index("near_dedup") + 1
+    assert c["semantic_dedup"] <= c["near_dedup"]
+    assert any(e["stage"] == "curate.semantic_dedup" for e in lin.events)
+    assert res["curated"].columns == docs.columns
+
+
+def test_survivors_preserve_input_columns(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    kept = SD.semantic_dedup_survivors(emb, threshold=0.999)
+    assert kept.columns == emb.columns
+    n_in, n_kept = emb.count(), kept.count()
+    assert 0 < n_kept <= n_in
