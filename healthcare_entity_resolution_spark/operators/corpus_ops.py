@@ -229,3 +229,143 @@ def stratified_token_sample(
         max_tokens_per_stratum=max_tokens_per_stratum,
     )
     return {"sampled": sampled, "rates": rates}
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_SCHEMA = (
+    "id string, n_tokens long, pack_id string, pack_pos int, "
+    "over_budget boolean"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    token_col: str | None = None,
+    n_groups: int = 256,
+    lineage: LineageLog = NULL_LINEAGE,
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training pack
+    (first-fit-decreasing bin packing) — the batch-assembly step between
+    curation and the training dataloader.
+
+    Returns (id, n_tokens, pack_id, pack_pos, over_budget): ``pack_id`` is
+    globally unique, ``pack_pos`` orders members within a pack (by
+    descending token count, ties by id), and a document LONGER than the
+    budget gets a singleton pack flagged ``over_budget`` (callers truncate
+    or split downstream — packing never silently drops tokens).
+
+    Determinism and scale shape: documents are hash-bucketed into
+    ``n_groups`` independent packing groups (pmod(xxhash64(id))), each
+    packed by ONE applyInPandas FFD kernel — the only Python in this
+    module, because greedy bin packing is inherently sequential and not
+    SQL-expressible.  Group membership and the in-group scan order are
+    pure functions of (id, n_tokens), so the output is identical across
+    reruns and physical partitionings.  Packing quality is per-group (a
+    pack never spans groups — raise ``n_groups`` at corpus scale so each
+    group's doc list fits one task comfortably; FFD guarantees <= 11/9 OPT
+    + 1 bins per group).  Tokens default to the BPE-ish pretoken count
+    from textstats; pass ``token_col`` to reuse precomputed counts."""
+    import numpy as np
+    import pandas as pd
+
+    if token_col is None:
+        from . import textstats as TS
+
+        counts = TS.token_counts(docs, id_col, text_col).select(
+            F.col(id_col).cast("string").alias("id"),
+            # NULL/absent text packs as 0 tokens, never NaN in the kernel
+            F.greatest(
+                F.coalesce(F.col("n_bpe_tokens").cast("long"), F.lit(0)),
+                F.lit(0),
+            ).alias("n_tokens"),
+        )
+    else:
+        counts = docs.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.greatest(
+                F.coalesce(F.col(token_col).cast("long"), F.lit(0)),
+                F.lit(0),
+            ).alias("n_tokens"),
+        )
+    base = counts.withColumn(
+        "_grp", F.pmod(F.xxhash64("id"), F.lit(n_groups)).cast("int")
+    )
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["_grp"].iloc[0])
+        order = sorted(
+            range(len(pdf)),
+            key=lambda i: (-int(pdf["n_tokens"].iloc[i]), pdf["id"].iloc[i]),
+        )
+        rem = np.empty(len(pdf), dtype=np.int64)  # remaining cap per bin
+        n_bins = 0
+        bin_of = np.empty(len(pdf), dtype=np.int64)
+        pos_in = np.empty(len(pdf), dtype=np.int64)
+        bin_fill = np.zeros(len(pdf), dtype=np.int64)  # members per bin
+        over = np.zeros(len(pdf), dtype=bool)
+        for i in order:
+            need = int(pdf["n_tokens"].iloc[i])
+            if need > max_tokens:
+                b = n_bins
+                rem[b] = 0
+                n_bins += 1
+                over[i] = True
+            else:
+                fits = np.nonzero(rem[:n_bins] >= need)[0]
+                if fits.size:
+                    b = int(fits[0])  # first fit
+                else:
+                    b = n_bins
+                    rem[b] = max_tokens
+                    n_bins += 1
+                rem[b] -= need
+            bin_of[i] = b
+            pos_in[i] = bin_fill[b]
+            bin_fill[b] += 1
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_id": [f"{g}:{b}" for b in bin_of],
+                "pack_pos": pos_in.astype("int32"),
+                "over_budget": over,
+            }
+        )
+
+    out = base.groupBy("_grp").applyInPandas(pack_group, schema=PACK_SCHEMA)
+    lineage.log(
+        "corpus.pack_sequences", max_tokens=max_tokens, n_groups=n_groups
+    )
+    return out
+
+
+def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """One-row accounting for a :func:`pack_sequences` result: pack count,
+    token totals, and fill rate over the non-over-budget packs."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.max(F.col("over_budget").cast("int")).alias("over"),
+    )
+    return per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("over") == 0, F.col("pack_tokens"))).alias(
+            "in_budget_tokens"
+        ),
+        F.sum(F.when(F.col("over") == 0, 1).otherwise(0)).alias(
+            "in_budget_packs"
+        ),
+        (
+            F.sum(F.when(F.col("over") == 0, F.col("pack_tokens")))
+            / (
+                F.sum(F.when(F.col("over") == 0, 1).otherwise(0))
+                * F.lit(float(max_tokens))
+            )
+        ).alias("fill_rate"),
+    )

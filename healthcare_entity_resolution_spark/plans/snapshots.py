@@ -178,6 +178,63 @@ class SnapshotStore:
                 return self.spark.read.parquet(*deltas)
         return self.spark.read.parquet(base)
 
+    def history(self, name: str) -> list[dict]:
+        """Committed epochs of a snapshot, oldest first — the Iceberg
+        snapshot-log analog.  Append-mode: one entry per live ``delta_<id>``
+        / ``compact_<id>`` directory (a compaction entry covers every id up
+        to its own, so ids below the newest compaction no longer appear:
+        their history is physically gone).  Whole-commit-mode: a single
+        ``commit`` entry."""
+        base = self._path(name)
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
+            return [{
+                "id": 0, "kind": "commit",
+                "committed_at": os.path.getmtime(os.path.join(base, "_SUCCESS")),
+            }]
+        entries = [
+            {"id": i, "kind": "delta",
+             "committed_at": os.path.getmtime(os.path.join(p, "_SUCCESS"))}
+            for i, p in self._committed_dirs(name, "delta").items()
+        ] + [
+            {"id": i, "kind": "compact",
+             "committed_at": os.path.getmtime(os.path.join(p, "_SUCCESS"))}
+            for i, p in self._committed_dirs(name, "compact").items()
+        ]
+        return sorted(entries, key=lambda e: (e["id"], e["kind"]))
+
+    def load_as_of(self, name: str, as_of_id: int) -> DataFrame:
+        """Time travel: the append-mode snapshot's view as of epoch
+        ``as_of_id`` (inclusive) — the union of the newest compaction at or
+        below it plus every later delta up to it.  Raises when that history
+        has been physically superseded (a newer compaction deleted the
+        constituent deltas) or when an epoch in range was never committed —
+        time travel never silently returns a DIFFERENT view than the one
+        that existed at that epoch."""
+        deltas = self._committed_dirs(name, "delta")
+        compacts = self._committed_dirs(name, "compact")
+        eligible = [i for i in compacts if i <= as_of_id]
+        floor = max(eligible) if eligible else -1
+        if not eligible and compacts:
+            raise ValueError(
+                f"load_as_of: epoch {as_of_id} of {name!r} predates the "
+                f"oldest surviving compaction ({min(compacts)}) — its "
+                "constituent deltas were compacted away"
+            )
+        need = [i for i in range(floor + 1, as_of_id + 1)]
+        missing = [i for i in need if i not in deltas]
+        if missing:
+            raise ValueError(
+                f"load_as_of: epoch(s) {missing} of {name!r} are not "
+                "committed — cannot reconstruct the view at epoch "
+                f"{as_of_id}"
+            )
+        paths = ([] if floor < 0 else [compacts[floor]]) + [
+            deltas[i] for i in need
+        ]
+        if not paths:
+            raise ValueError(f"load_as_of: {name!r} has no epoch {as_of_id}")
+        return self.spark.read.parquet(*paths)
+
     def stage(self, name: str, build) -> tuple[DataFrame, bool]:
         """Run ``build()`` and commit, or load the existing snapshot.
         Returns (df, resumed)."""

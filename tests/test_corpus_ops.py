@@ -229,3 +229,83 @@ def test_stratified_sample_plan_broadcasts_rates(spark, corpus):
     )
     plan = res["sampled"]._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _packing_docs(spark, sizes):
+    # no trailing whitespace: the BPE-ish pretokenizer counts a trailing
+    # space as its own token, which would tip an exactly-at-budget doc over
+    rows = [(f"d{i:04d}", " ".join(["tok"] * int(s))) for i, s in enumerate(sizes)]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc lands in exactly one pack; no in-budget pack exceeds the
+    budget; oversized docs get flagged singleton packs; pack_pos orders
+    members by descending size then id."""
+    import healthcare_entity_resolution_spark.operators.corpus_ops as CO
+
+    sizes = [100, 900, 800, 300, 700, 650, 120, 5000, 40, 40, 40, 1024]
+    docs = _packing_docs(spark, sizes)
+    packed = CO.pack_sequences(
+        docs, "doc_id", "text", max_tokens=1024, token_col=None, n_groups=4
+    )
+    rows = packed.collect()
+    assert sorted(r.id for r in rows) == sorted(f"d{i:04d}" for i in range(len(sizes)))
+
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(m.n_tokens for m in members)
+        if any(m.over_budget for m in members):
+            assert len(members) == 1 and members[0].n_tokens > 1024
+        else:
+            assert total <= 1024, (pid, total)
+        got_pos = [m.pack_pos for m in sorted(
+            members, key=lambda m: (-m.n_tokens, m.id))]
+        assert got_pos == list(range(len(members)))
+
+    over = [r for r in rows if r.over_budget]
+    assert len(over) == 1 and over[0].n_tokens > 1024
+
+
+def test_pack_sequences_deterministic_across_partitioning(spark):
+    import healthcare_entity_resolution_spark.operators.corpus_ops as CO
+
+    sizes = [7 + (i * 37) % 900 for i in range(200)]
+    docs = _packing_docs(spark, sizes)
+    a = sorted(map(tuple, CO.pack_sequences(
+        docs.repartition(7), "doc_id", "text", max_tokens=1000).collect()))
+    b = sorted(map(tuple, CO.pack_sequences(
+        docs.repartition(2), "doc_id", "text", max_tokens=1000).collect()))
+    assert a == b
+
+
+def test_pack_sequences_fill_rate_and_precomputed_tokens(spark):
+    import healthcare_entity_resolution_spark.operators.corpus_ops as CO
+
+    rows = [(f"d{i:03d}", 256) for i in range(64)]  # 4 per 1024-pack exactly
+    docs = spark.createDataFrame(rows, "doc_id string, n_tok long")
+    packed = CO.pack_sequences(
+        docs, "doc_id", max_tokens=1024, token_col="n_tok", n_groups=1
+    )
+    st = CO.pack_stats(packed, 1024).first()
+    assert st.n_packs == 16 and st.total_tokens == 64 * 256
+    assert abs(st.fill_rate - 1.0) < 1e-9
+
+
+def test_pack_sequences_null_text_packs_as_zero(spark):
+    import healthcare_entity_resolution_spark.operators.corpus_ops as CO
+
+    docs = spark.createDataFrame(
+        [("a", None), ("b", "tok tok tok")], "doc_id string, text string"
+    )
+    rows = {r.id: r for r in CO.pack_sequences(
+        docs, "doc_id", "text", max_tokens=10).collect()}
+    assert rows["a"].n_tokens == 0 and rows["a"].over_budget is False
+    assert rows["b"].n_tokens == 3

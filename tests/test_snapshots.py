@@ -243,3 +243,46 @@ def test_compact_over_leftover_dir(spark, tmp_path):
     cid = store.compact("state")
     assert cid == 1
     assert store.load("state").count() == 4
+
+
+def test_history_and_time_travel(spark, tmp_path):
+    """history() lists live epochs; load_as_of() reconstructs each past
+    view exactly, refuses compacted-away epochs, and refuses gaps."""
+    import pytest as _pytest
+
+    store = SnapshotStore(spark, str(tmp_path / "tt"))
+    for i, v in enumerate([10, 20, 30]):
+        store.append(spark.range(v, v + 1), "t", i)
+
+    h = store.history("t")
+    assert [(e["id"], e["kind"]) for e in h] == [
+        (0, "delta"), (1, "delta"), (2, "delta")
+    ]
+    assert sorted(r.id for r in store.load_as_of("t", 0).collect()) == [10]
+    assert sorted(r.id for r in store.load_as_of("t", 1).collect()) == [10, 20]
+    assert sorted(r.id for r in store.load_as_of("t", 2).collect()) == [10, 20, 30]
+
+    # epoch 3 was never committed
+    with _pytest.raises(ValueError, match="not committed"):
+        store.load_as_of("t", 3)
+
+    # compaction covers 0-2; epochs 0/1 are physically gone, 2 survives
+    cid = store.compact("t")
+    assert cid == 2
+    store.append(spark.range(40, 41), "t", 3)
+    assert sorted(r.id for r in store.load_as_of("t", 2).collect()) == [10, 20, 30]
+    assert sorted(r.id for r in store.load_as_of("t", 3).collect()) == [
+        10, 20, 30, 40
+    ]
+    with _pytest.raises(ValueError, match="compacted away"):
+        store.load_as_of("t", 1)
+    assert [(e["id"], e["kind"]) for e in store.history("t")] == [
+        (2, "compact"), (3, "delta")
+    ]
+
+
+def test_history_whole_commit_mode(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "wc"))
+    store.commit(spark.range(5), "base")
+    h = store.history("base")
+    assert len(h) == 1 and h[0]["kind"] == "commit"
