@@ -7,6 +7,8 @@ Stage order matters and mirrors what each stage costs at 100 TB:
 
 1. **exact dedup** first — byte-identical copies collapse in one
    O(distinct) hash-groupBy before anything fuzzy or quadratic runs;
+   optionally followed by **cross-snapshot dedup** against a persisted
+   crawl-dedup index (partition-pruned probe, operators/dedup_index.py);
 2. **near dedup** (MinHash/LSH, salted id-only candidates) on the
    survivors — keeps one representative (min id) per transitive group;
    optionally followed by **SemDeDup semantic dedup** when an embedding
@@ -49,6 +51,7 @@ def curate_corpus(
     max_top_bigram_frac: float | None = None,
     max_pii: int | None = 10,
     near_dup_threshold: float = 0.85,
+    dedup_index_path: str | None = None,
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
     emb_vec_col: str = "embedding",
@@ -101,6 +104,32 @@ def curate_corpus(
                 cur, id_col, text_col,
                 min_docs=boilerplate_min_docs, lineage=lineage,
             ).drop("boilerplate_lines_removed"),
+        )
+
+    # 1c. optional cross-snapshot dedup: drop docs near-duplicating a
+    # PREVIOUSLY ACCEPTED corpus (operators/dedup_index.py) before the
+    # in-batch quadratic-ish stage — the index probe is a partition-pruned
+    # read, cheaper than in-batch pairing, so it goes first.  (A crawl
+    # ingest loop that also APPENDS survivors should use
+    # dedup_index.incremental_dedup_step, which shares one MinHash pass
+    # across probe, intra-dedup, and append.)
+    if dedup_index_path is not None:
+        from . import dedup_index as DIX
+
+        idx_matches = DIX.query_dedup_index(
+            cur, dedup_index_path, id_col, text_col, cfg,
+            jaccard_threshold=near_dup_threshold, lineage=lineage,
+        )
+        idx_drop = idx_matches.select(
+            F.col("query_id").alias("__idx_drop")
+        ).distinct()
+        cur = log(
+            "index_dedup",
+            cur.join(
+                idx_drop,
+                cur[id_col].cast("string") == idx_drop["__idx_drop"],
+                "left_anti",
+            ),
         )
 
     # 2. near dedup: drop every non-representative (non-min-id) member of

@@ -204,6 +204,27 @@ def test_intra_batch_transitive_min_id_keep(spark, tmp_path):
     assert res["index_matches"].count() == 0
 
 
+def test_curate_cross_snapshot_stage(spark, tmp_path):
+    """curate_corpus(dedup_index_path=...) drops batch docs that near-
+    duplicate the previously accepted corpus, as its own counted stage
+    between exact dedup and in-batch near dedup."""
+    from healthcare_entity_resolution_spark.operators import curate as C
+
+    path = str(tmp_path / "idx")
+    DI.build_dedup_index(_corpus(spark), path, cfg=CFG)
+    res = C.curate_corpus(
+        _batch(spark), cfg=CFG, dedup_index_path=path,
+        near_dup_threshold=0.5, min_quality=0.0,
+    )
+    c = res["counts"]
+    stages = list(c)
+    assert stages.index("index_dedup") == stages.index("exact_dedup") + 1
+    assert stages.index("near_dedup") == stages.index("index_dedup") + 1
+    # b1/b2 dup a1 and b4 dups a2 -> only b3 survives the index stage
+    assert c["exact_dedup"] == 4 and c["index_dedup"] == 1
+    assert sorted(r.doc_id for r in res["curated"].collect()) == ["b3"]
+
+
 def test_streaming_crawl_dedup_loop(spark, tmp_path):
     """readStream -> incremental_dedup_step -> kept parquet: two micro-batch
     files processed in order; batch-2 twins of batch-1 survivors are dropped
